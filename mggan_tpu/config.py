@@ -1,0 +1,206 @@
+"""Configuration surface.
+
+Reproduces every flag of the reference CLI (``mggan/model/config.py:4-135``)
+on top of a plain dataclass, so the documented training command keeps
+working.  Grid sweeps (the reference's test_tube ``opt_list``) are a driver
+script concern, not a parser concern.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional
+
+DATASET_CHOICES = [
+    "hotel",
+    "eth",
+    "zara1",
+    "zara2",
+    "univ",
+    "social_stanford_synthetic",
+    "stanford_synthetic",
+    "stanford_synthetic_2",
+    "stanford_synthetic_4",
+    "stanford",
+    "gofp",
+    # TPU-build extra: in-memory synthetic dataset, used by tests/benchmarks.
+    "synthetic_memory",
+]
+
+GAN_TYPES = ["probgan", "mgan", "infogan", "gan"]
+GAN_OBJECTIVES = ["NS", "MM", "LS", "W"]
+EXPERIMENTS = ["multi_generator", "discrete"]
+INP_FORMATS = ["rel", "abs", "abs_rel"]
+POOL_TYPES = ["sways", "sgan"]
+WEIGHTING_TARGETS = ["l2", "disc_scores", "endpoint", "mgan", "ml", "none"]
+L2_LOSS_TYPES = ["none", "min_z", "min_g_z", "min_g_min_z", "mse"]
+
+
+@dataclass
+class Config:
+    """Mirror of the reference's parsed-args namespace (config.py:4-135)."""
+
+    name: str = "test"
+    log_dir: str = "./logs/"
+    dataset: str = "stanford_synthetic"
+    gpus: str = "0"  # kept for CLI parity; device placement is managed by JAX
+    workers: int = 0
+    batch_size: int = 2
+    beta1: float = 0.5
+    l2_loss_weight: float = 1.0
+    clf_loss_weight: float = 1.0
+    pi_net_loss_weight: float = 1.0
+    epochs: int = 500
+    clipping_threshold_d: float = 100
+    clipping_threshold_g: float = 500
+    num_gen_steps: int = 1
+    inp_format: str = "rel"
+    keep_gen_steps: int = 0
+    top_k_test: int = 20
+    val_every: int = 1
+    save_every: int = 5
+    debug: bool = False
+    n_social_modules: int = 1
+    g_lr: float = 1e-3
+    d_lr: float = 1e-3
+    sigma: float = 1.0
+    gan_type: str = "mgan"
+    experiment: str = "multi_generator"
+    pool_type: str = "sways"
+    global_disc: int = 1
+    unconditional: bool = False
+    augment: int = 1
+    noise_dim: int = 8
+    h_dim: int = 32
+    decoder_h_dim: int = 32
+    num_samples: int = 20
+    num_expectation_samples: int = 1
+    weighting_target: str = "ml"
+    l2_loss_type: str = "min_g_z"
+    num_gens: int = 1
+    l2_decay_rate: float = 1.0
+    num_unrolling_steps: int = 0
+    checkpoint: Optional[str] = None
+    # SGHMC extras (probgan; config.py:100-117)
+    sghmc_alpha: float = 0.01
+    g_noise_loss_lambda: float = 3e-2
+    d_noise_loss_lambda: float = 3e-2
+    d_hist_loss_lambda: float = 1.0
+    gan_obj: str = "NS"
+
+    # ---- derived / build-time fields (reference: model_factory.py:14-19) ----
+    use_pinet: bool = field(default=False)
+    num_gen_parameters: int = field(default=0)
+
+    # ---- TPU-build extras (not in the reference surface) ----
+    # Cap on peds per padded scene; scenes with more agents are split.
+    max_peds: int = 32
+    # Data-parallel shard count (scene axis over the ICI mesh). 1 = single chip.
+    dp: int = 1
+    # Generator-parallel shard count over the stacked-decoder axis.
+    gp: int = 1
+    seed: int = 145325
+    # Where dataset files live (reference hardcodes ./data/datasets/<name>).
+    data_root: str = "./data/datasets"
+
+    def __post_init__(self):
+        assert self.inp_format in INP_FORMATS
+        assert self.gan_type in GAN_TYPES
+        assert self.gan_obj in GAN_OBJECTIVES
+        assert self.experiment in EXPERIMENTS
+        assert self.pool_type in POOL_TYPES
+        assert self.weighting_target in WEIGHTING_TARGETS
+        assert self.l2_loss_type in L2_LOSS_TYPES
+        # model_factory.py:16
+        self.use_pinet = self.weighting_target != "none" and not self.unconditional
+
+    def replace(self, **kw) -> "Config":
+        cfg = dataclasses.replace(self, **kw)
+        cfg.__post_init__()
+        return cfg
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Config":
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})
+
+
+# Architecture constants fixed by the reference factory (model_factory.py:18-19).
+PRED_LEN = 12
+OBS_LEN = 8
+SCENE_DIM = 8 * 8
+
+
+def get_parser() -> argparse.ArgumentParser:
+    """Same flag surface as the reference ``get_parser`` (config.py:4-135)."""
+    p = argparse.ArgumentParser()
+    d = Config()
+    p.add_argument("--name", type=str, default=d.name)
+    p.add_argument("--log_dir", type=str, default=d.log_dir)
+    p.add_argument("--dataset", type=str, default=d.dataset, choices=DATASET_CHOICES)
+    p.add_argument("--gpus", type=str, default=d.gpus)
+    p.add_argument("--workers", type=int, default=d.workers)
+    p.add_argument("--batch_size", type=int, default=d.batch_size)
+    p.add_argument("--beta1", type=float, default=d.beta1)
+    p.add_argument("--l2_loss_weight", type=float, default=d.l2_loss_weight)
+    p.add_argument("--clf_loss_weight", type=float, default=d.clf_loss_weight)
+    p.add_argument("--pi_net_loss_weight", type=float, default=d.pi_net_loss_weight)
+    p.add_argument("--epochs", type=int, default=d.epochs)
+    p.add_argument("--clipping_threshold_d", type=float, default=d.clipping_threshold_d)
+    p.add_argument("--clipping_threshold_g", type=float, default=d.clipping_threshold_g)
+    p.add_argument("--num_gen_steps", type=int, default=d.num_gen_steps)
+    p.add_argument("--inp_format", choices=INP_FORMATS, default=d.inp_format)
+    p.add_argument("--keep_gen_steps", type=int, default=d.keep_gen_steps)
+    p.add_argument("--top_k_test", type=int, default=d.top_k_test)
+    p.add_argument("--val_every", type=int, default=d.val_every)
+    p.add_argument("--save_every", type=int, default=d.save_every)
+    p.add_argument("--num_unrolling_steps", type=int, default=d.num_unrolling_steps)
+    p.add_argument("--debug", action="store_true")
+    p.add_argument("--n_social_modules", type=int, default=d.n_social_modules)
+    p.add_argument("--g_lr", type=float, default=d.g_lr)
+    p.add_argument("--d_lr", type=float, default=d.d_lr)
+    p.add_argument("--sigma", type=float, default=d.sigma)
+    p.add_argument("--gan_type", type=str, choices=GAN_TYPES, default=d.gan_type)
+    p.add_argument("--experiment", type=str, choices=EXPERIMENTS, default=d.experiment)
+    p.add_argument("--pool_type", type=str, default=d.pool_type)
+    p.add_argument("--global_disc", type=int, default=d.global_disc)
+    p.add_argument("--unconditional", action="store_true")
+    p.add_argument("--augment", type=int, default=d.augment)
+    p.add_argument("--noise_dim", type=int, default=d.noise_dim)
+    p.add_argument("--h_dim", type=int, default=d.h_dim)
+    p.add_argument("--decoder_h_dim", type=int, default=d.decoder_h_dim)
+    p.add_argument("--num_samples", type=int, default=d.num_samples)
+    p.add_argument(
+        "--num_expectation_samples", type=int, default=d.num_expectation_samples
+    )
+    p.add_argument(
+        "--weighting_target",
+        type=str,
+        choices=WEIGHTING_TARGETS,
+        default=d.weighting_target,
+    )
+    p.add_argument("--l2_loss_type", type=str, choices=L2_LOSS_TYPES, default=d.l2_loss_type)
+    p.add_argument("--num_gens", type=int, default=d.num_gens)
+    p.add_argument("--l2_decay_rate", type=float, default=d.l2_decay_rate)
+    p.add_argument("--checkpoint", type=str, default=None)
+    p.add_argument("--sghmc_alpha", type=float, default=d.sghmc_alpha)
+    p.add_argument("--g_noise_loss_lambda", type=float, default=d.g_noise_loss_lambda)
+    p.add_argument("--d_noise_loss_lambda", type=float, default=d.d_noise_loss_lambda)
+    p.add_argument("--d_hist_loss_lambda", type=float, default=d.d_hist_loss_lambda)
+    p.add_argument("--gan_obj", type=str, choices=GAN_OBJECTIVES, default=d.gan_obj)
+    # TPU-build extras
+    p.add_argument("--max_peds", type=int, default=d.max_peds)
+    p.add_argument("--dp", type=int, default=d.dp)
+    p.add_argument("--gp", type=int, default=d.gp)
+    p.add_argument("--seed", type=int, default=d.seed)
+    p.add_argument("--data_root", type=str, default=d.data_root)
+    return p
+
+
+def config_from_args(args: argparse.Namespace) -> Config:
+    return Config.from_dict(vars(args))

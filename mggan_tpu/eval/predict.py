@@ -1,0 +1,262 @@
+"""The seven inference strategies (reference train.py:259-576).
+
+Decode-all runs on device; the deterministic slot-allocation bookkeeping of
+``expected``/``uniform_expected``/``smart_expected`` is O(B*num) integer
+work done in numpy (exactly reproducing the reference's selection orders for
+eval parity), after which samples are gathered on device by
+(occurrence, generator) index.
+
+Strategy map (train.py:553-576):
+    sampling          -> PM-categorical sampling
+    expected          -> proportional allocation + ranked filler
+    uniform_expected  -> round-robin over gens with prob > 0
+    smart_expected    -> round-robin over gens with prob > 1/G
+    smart_sampling    -> uniform categorical over gens with prob > 1/G^2
+    uniform_sampling  -> uniform categorical over all gens
+    rejection         -> single-gen Jacobian-norm rejection (arXiv:2006.04596)
+"""
+
+from __future__ import annotations
+
+import functools
+from math import ceil
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mggan_tpu.config import Config
+from mggan_tpu.models import generator as G_mod
+from mggan_tpu.ops import sampling
+from mggan_tpu.training.steps import BatchViews, batch_views
+
+STRATEGIES = (
+    "uniform_expected",
+    "sampling",
+    "expected",
+    "rejection",
+    "smart_expected",
+    "smart_sampling",
+    "uniform_sampling",
+)
+
+
+def gather_by_occurrence(decoded, gen_idxs):
+    """out[j] = decoded[occurrence_j, gen_j] per agent.
+
+    decoded: (K, G, S, P, T, 2) with K >= max occurrence count;
+    gen_idxs: (S, P, num) -> out (num, S, P, T, 2).
+
+    This reproduces the reference's ``sample_idxs + offsets * num_gens``
+    flat-gather (train.py:339-349) with static shapes.
+    """
+    k, g, s, p, t, _ = decoded.shape
+    occ = sampling.selection_indices(gen_idxs)
+    flat_idx = occ * g + gen_idxs  # (S,P,num) into sample-major (K*G)
+    dec = jnp.moveaxis(decoded.reshape(k * g, s, p, t, 2), 0, 2)  # (S,P,KG,T,2)
+    out = jnp.take_along_axis(
+        dec, flat_idx[..., None, None], axis=2
+    )  # (S,P,num,T,2)
+    return jnp.moveaxis(out, 2, 0)
+
+
+class Predictor:
+    """Jitted inference front-end over a trained generator."""
+
+    def __init__(self, config: Config, g_spec, g_params, g_state):
+        self.config = config
+        self.g_spec = g_spec
+        self.g_params = g_params
+        self.g_state = g_state
+
+        @functools.partial(jax.jit, static_argnames=("num",))
+        def _decode_all(g_params, g_state, batch, rng, num):
+            bv = batch_views(batch)
+            enc_h, social_feats, _ = G_mod.encode(
+                g_params, g_state, g_spec, bv.in_xy, bv.in_dxdy, bv.ped_mask,
+                bv.patches, train=False,
+            )
+            logits = G_mod.pm_logits(g_params, g_spec, enc_h)
+            s, p = bv.ped_mask.shape
+            noise = sampling.global_noise(rng, num, s, p, config.noise_dim)
+            out = G_mod.decode_all(
+                g_params, g_spec, bv.in_xy[:, :, -1], bv.in_dxdy[:, :, -1],
+                enc_h, social_feats, noise,
+            )
+            return out.abs, out.rel, logits, noise
+
+        self._decode_all = _decode_all
+
+        @functools.partial(jax.jit, static_argnames=("num",))
+        def _decode_with_noise(g_params, g_state, batch, noise, num):
+            bv = batch_views(batch)
+            enc_h, social_feats, _ = G_mod.encode(
+                g_params, g_state, g_spec, bv.in_xy, bv.in_dxdy, bv.ped_mask,
+                bv.patches, train=False,
+            )
+            out = G_mod.decode_all(
+                g_params, g_spec, bv.in_xy[:, :, -1], bv.in_dxdy[:, :, -1],
+                enc_h, social_feats, noise,
+            )
+            return out.abs
+
+        self._decode_with_noise = _decode_with_noise
+
+    # ------------------------------------------------------------- helpers
+    def _run(self, batch, rng, num):
+        abs_all, rel_all, logits, noise = self._decode_all(
+            self.g_params, self.g_state, batch, rng, num
+        )
+        probs = jax.nn.softmax(logits, axis=-1)
+        return abs_all, rel_all, logits, probs, noise
+
+    @staticmethod
+    def _gather(abs_all, rel_all, gen_idxs):
+        return (
+            gather_by_occurrence(abs_all, gen_idxs),
+            gather_by_occurrence(rel_all, gen_idxs),
+        )
+
+    # ---------------------------------------------------------- strategies
+    def predict(self, batch, rng, num=20):
+        """PM-net categorical sampling (train.py:259-289)."""
+        k1, k2 = jax.random.split(rng)
+        abs_all, rel_all, logits, probs, _ = self._run(batch, k1, num)
+        gen_idxs = sampling.categorical(k2, logits, num)
+        out_abs = sampling.gather_samples(abs_all, gen_idxs)
+        out_rel = sampling.gather_samples(rel_all, gen_idxs)
+        return out_abs, out_rel, probs, gen_idxs
+
+    def predict_expected(self, batch, rng, num=20):
+        """Deterministic proportional allocation (train.py:291-351)."""
+        abs_all, rel_all, _, probs, _ = self._run(batch, rng, num)
+        s, p, g = probs.shape
+        sel = expected_selection(np.asarray(probs).reshape(-1, g), num)
+        gen_idxs = jnp.asarray(sel.reshape(s, p, num))
+        out_abs, out_rel = self._gather(abs_all, rel_all, gen_idxs)
+        return out_abs, out_rel, probs, gen_idxs
+
+    def predict_uniform(self, batch, rng, num=20, eps=0.0):
+        """Threshold + descending-prob round robin (train.py:353-412)."""
+        abs_all, rel_all, _, probs, _ = self._run(batch, rng, num)
+        s, p, g = probs.shape
+        sel = uniform_selection(np.asarray(probs).reshape(-1, g), num, eps)
+        gen_idxs = jnp.asarray(sel.reshape(s, p, num))
+        out_abs, out_rel = self._gather(abs_all, rel_all, gen_idxs)
+        return out_abs, out_rel, probs, gen_idxs
+
+    def predict_smart_sampling(self, batch, rng, num=20, eps=0.0):
+        """Uniform categorical over gens above threshold (train.py:414-465)."""
+        k1, k2 = jax.random.split(rng)
+        abs_all, rel_all, _, probs, _ = self._run(batch, k1, num)
+        over = probs > eps
+        none_over = ~over.any(-1, keepdims=True)
+        over = jnp.where(none_over, True, over)
+        logits_u = jnp.where(over, 0.0, -1e9)
+        gen_idxs = sampling.categorical(k2, logits_u, num)
+        out_abs, out_rel = self._gather(abs_all, rel_all, gen_idxs)
+        return out_abs, out_rel, probs, gen_idxs
+
+    def predict_rejection(self, batch, rng, num=20, sigma=1e-3, n_estimate=10,
+                          truncation_ratio=0.7):
+        """Jacobian-Frobenius-norm rejection for single-generator models
+        ("no GAN's land", train.py:467-551)."""
+        assert self.config.num_gens == 1, "Only implemented for single generator"
+        assert 0.0 < truncation_ratio <= 1.0
+        total = num + ceil((1 - truncation_ratio) * num)
+
+        k0, *ks = jax.random.split(rng, n_estimate + 1)
+        abs_all, rel_all, logits, noise = self._decode_all(
+            self.g_params, self.g_state, batch, k0, total
+        )
+        probs = jax.nn.softmax(logits, axis=-1)
+        base = abs_all[:, 0]  # (total,S,P,T,2)
+
+        jac = jnp.zeros(base.shape[1:3] + (total,))
+        for i in range(n_estimate):
+            eps_i = jax.random.normal(ks[i], noise.shape) * sigma**2
+            pert = self._decode_with_noise(
+                self.g_params, self.g_state, batch, noise + eps_i, total
+            )[:, 0]
+            sq = ((pert - base) ** 2).sum((-1, -2)) / sigma**2  # (total,S,P)
+            jac = jac + jnp.moveaxis(sq, 0, -1)
+        jac = jac / n_estimate
+
+        order = jnp.argsort(jac, axis=-1)[..., :num]  # (S,P,num)
+        pick = lambda x: jnp.moveaxis(
+            jnp.take_along_axis(
+                jnp.moveaxis(x[:, 0], 0, 2), order[..., None, None], axis=2
+            ),
+            2,
+            0,
+        )
+        gen_idxs = jnp.zeros(order.shape, jnp.int32)
+        return pick(abs_all), pick(rel_all), probs, gen_idxs
+
+    def get_predict_func(self, strategy: str):
+        """Dispatch incl. eps defaults (train.py:553-576)."""
+        assert strategy in STRATEGIES, strategy
+        n = self.config.num_gens
+        if strategy == "expected":
+            return self.predict_expected
+        if strategy == "rejection":
+            return self.predict_rejection
+        if strategy == "uniform_expected":
+            return self.predict_uniform
+        if strategy == "smart_expected":
+            return functools.partial(self.predict_uniform, eps=1.0 / n)
+        if strategy == "smart_sampling":
+            return functools.partial(self.predict_smart_sampling, eps=1.0 / n**2)
+        if strategy == "uniform_sampling":
+            return functools.partial(self.predict_smart_sampling, eps=0.0)
+        return self.predict
+
+
+# ---------------------------------------------------------------- host-side
+def expected_selection(probs: np.ndarray, num: int) -> np.ndarray:
+    """Reference ``predict_expected`` allocation (train.py:309-337).
+
+    probs: (B, G) -> int32 (B, num) emission order.
+    round(p*num) slots per gen, the rounding residue distributed over gens in
+    descending-allocation order, then emitted round-robin in that order.
+    """
+    b, g = probs.shape
+    expected = np.round(probs * num).astype(np.int64)
+    sort_idxs = np.argsort(-expected, axis=-1)
+    missing = num - expected.sum(1)
+    for row in range(b):
+        m = missing[row]
+        if m != 0:
+            seq = np.tile(sort_idxs[row], abs(m))[: abs(m)]
+            uniq, counts = np.unique(seq, return_counts=True)
+            expected[row, uniq] += np.sign(m) * counts
+    out = np.zeros((b, num), np.int32)
+    for row in range(b):
+        remaining = expected[row].copy()
+        emitted = []
+        while len(emitted) < num:
+            for idx in sort_idxs[row]:
+                if remaining[idx] > 0:
+                    emitted.append(idx)
+                    remaining[idx] -= 1
+                    if len(emitted) == num:
+                        break
+        out[row] = emitted[:num]
+    return out
+
+
+def uniform_selection(probs: np.ndarray, num: int, eps: float) -> np.ndarray:
+    """Reference ``predict_uniform`` selection (train.py:382-405).
+
+    Gens with prob > eps (all if none), sorted by descending prob, emitted
+    round-robin.
+    """
+    b, g = probs.shape
+    out = np.zeros((b, num), np.int32)
+    for row in range(b):
+        sel = np.where(probs[row] > eps)[0]
+        if len(sel) == 0:
+            sel = np.arange(g)
+        order = sel[np.argsort(-probs[row, sel], kind="stable")]
+        out[row] = np.tile(order, num)[:num]
+    return out

@@ -1,0 +1,214 @@
+"""Multi-generator G: encoder + scene/social context + PM-net + stacked decoders.
+
+Reference: ``MultiGenerator`` (standard.py:17-302) and the discrete-latent
+ablation ``DiscreteLatentGenerator`` (standard_discrete.py:18-257).
+
+TPU re-design:
+* All ragged scene handling is dense ``(S, P)`` + masks.
+* ``forward_all`` (standard.py:227-265, a Python loop over generators) is a
+  single vmapped rollout over the stacked decoder axis.
+* The ``all_gen_out=False`` shortcut with occurrence-offset gathers
+  (standard.py:186-214) is replaced by decode-all + one-hot gather
+  (see ops/sampling.gather_samples) — static shapes, MXU-friendly.
+* Per-scene shared noise is drawn once over the scene axis and broadcast.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from mggan_tpu.ops.linear import linear_init, mlp_init, mlp_apply
+from mggan_tpu.ops import social as social_ops
+from mggan_tpu.ops.cnn import scene_cnn_init, scene_cnn_apply
+from mggan_tpu.models import common
+from mggan_tpu.models.common import GeneratorOutput  # re-export
+
+
+@dataclass(frozen=True)
+class GeneratorSpec:
+    """Static architecture hyper-parameters (subset of Config)."""
+
+    z_size: int
+    encoder_h_dim: int
+    decoder_h_dim: int
+    social_feat_size: int  # 0 disables the social module
+    num_gens: int
+    pred_len: int
+    embedding_dim: int
+    inp_format: str
+    pool_type: str
+    scene_dim: int  # 0 disables the scene CNN
+    use_pinet: bool
+    learn_prior: bool
+    discrete: bool = False  # DiscreteLatentGenerator ablation
+
+    @property
+    def social_out_dim(self) -> int:
+        # Both sways attention and sgan pooling emit encoder_h_dim features
+        # (social.py:28 pools enc_h rows; social_gan bottleneck=encoder_h_dim).
+        return self.encoder_h_dim if self.social_feat_size > 0 else 0
+
+    @property
+    def enc_total(self) -> int:
+        return self.encoder_h_dim + self.scene_dim + self.social_out_dim
+
+
+def init(key, spec: GeneratorSpec):
+    """Build (params, state). state holds scene-CNN BatchNorm stats."""
+    ks = jax.random.split(key, 8)
+    params = {
+        "encoder": common.trajectory_encoder_init(
+            ks[0],
+            common.input_size(spec.inp_format),
+            spec.encoder_h_dim,
+            spec.embedding_dim,
+        )
+    }
+    state = {}
+    if spec.scene_dim > 0:
+        params["scene"], state["scene"] = scene_cnn_init(ks[1], channels_cnn=16)
+    if spec.social_feat_size > 0:
+        if spec.pool_type == "sways":
+            params["social"] = {
+                "embed": mlp_init(ks[2], [3, 32, 64, spec.social_feat_size]),
+                "w": linear_init(ks[3], spec.encoder_h_dim, spec.social_feat_size),
+            }
+        else:
+            params["social"] = {
+                "spatial": linear_init(ks[2], 2, spec.embedding_dim),
+                "pre_pool": mlp_init(
+                    ks[3],
+                    [
+                        spec.embedding_dim + spec.encoder_h_dim,
+                        spec.encoder_h_dim,
+                        spec.encoder_h_dim,
+                    ],
+                ),
+            }
+
+    dec_social = spec.social_out_dim
+    if spec.discrete:
+        params["decoder"] = common.relative_decoder_init(
+            ks[4], spec.embedding_dim, spec.decoder_h_dim, spec.inp_format, dec_social
+        )
+        # one-hot -> z embedding (standard_discrete.py:103)
+        params["one_hot_sample_encoder"] = mlp_init(
+            ks[7], [spec.num_gens, spec.z_size, spec.z_size]
+        )
+        enc_to_dec_in = spec.enc_total + spec.z_size + spec.z_size
+    else:
+        params["decoders"] = common.stacked_decoders_init(
+            ks[4],
+            spec.num_gens,
+            spec.embedding_dim,
+            spec.decoder_h_dim,
+            spec.inp_format,
+            dec_social,
+        )
+        enc_to_dec_in = spec.enc_total + spec.z_size
+
+    # single linear (make_mlp with two dims; standard.py:91-94)
+    params["enc_to_dec"] = mlp_init(ks[5], [enc_to_dec_in, spec.decoder_h_dim])
+    h = spec.encoder_h_dim
+    params["net_chooser"] = mlp_init(
+        ks[6], [spec.enc_total, h // 2, h // 2, spec.num_gens]
+    )
+    params["net_prior"] = jnp.zeros((1, spec.num_gens))
+    return params, state
+
+
+def encode(params, state, spec: GeneratorSpec, in_xy, in_dxdy, ped_mask, patches, train):
+    """Shared context encoding (standard.py:140-155).
+
+    Returns (enc_h (S,P,E_total), social_feats (S,P,F), new_state).
+    """
+    enc_inp = common.get_input(in_xy, in_dxdy, spec.inp_format)
+    enc_h = common.trajectory_encoder_apply(params["encoder"], enc_inp)
+    feats = [enc_h]
+    new_state = dict(state)
+    if spec.scene_dim > 0 and patches is not None:
+        s, p = patches.shape[:2]
+        flat = patches.reshape((s * p,) + patches.shape[2:])
+        scene_enc, new_scene_state = scene_cnn_apply(
+            params["scene"], state["scene"], flat, train
+        )
+        feats.append(scene_enc.reshape(s, p, -1))
+        new_state["scene"] = new_scene_state
+    if spec.social_feat_size > 0:
+        last_xy = in_xy[..., -1, :]
+        last_dxdy = in_dxdy[..., -1, :]
+        if spec.pool_type == "sways":
+            social_feats = social_ops.social_attention_apply(
+                params["social"], last_xy, last_dxdy, enc_h, ped_mask
+            )
+        else:
+            social_feats = social_ops.pool_hidden_net_apply(
+                params["social"], last_xy, enc_h, ped_mask
+            )
+        feats.append(social_feats)
+    else:
+        social_feats = jnp.zeros(enc_h.shape[:-1] + (0,), enc_h.dtype)
+    return jnp.concatenate(feats, axis=-1), social_feats, new_state
+
+
+def pm_logits(params, spec: GeneratorSpec, enc_h):
+    """PM-network logits or (learnable) prior (standard.py:217-225)."""
+    if spec.use_pinet:
+        return mlp_apply(params["net_chooser"], enc_h, activation="relu")
+    prior = params["net_prior"][0]
+    return jnp.broadcast_to(prior, enc_h.shape[:-1] + (spec.num_gens,))
+
+
+def decode_all(params, spec: GeneratorSpec, last_xy, last_dxdy, enc_h, social_feats, noise):
+    """Run every generator on every noise sample (standard.py:227-265).
+
+    Args:
+        last_xy/last_dxdy: (S, P, 2).
+        enc_h: (S, P, E_total); social_feats: (S, P, F).
+        noise: (K, S, P, z).
+
+    Returns:
+        GeneratorOutput with abs/rel of shape (K, G, S, P, pred_len, 2).
+    """
+    k, s, p, _ = noise.shape
+    n = k * s * p
+
+    enc_b = jnp.broadcast_to(enc_h[None], (k,) + enc_h.shape)
+    flat = lambda x: x.reshape((n,) + x.shape[3:])
+    social_b = flat(jnp.broadcast_to(social_feats[None], (k,) + social_feats.shape))
+    xy_b = flat(jnp.broadcast_to(last_xy[None], (k,) + last_xy.shape))
+    dxdy_b = flat(jnp.broadcast_to(last_dxdy[None], (k,) + last_dxdy.shape))
+
+    if spec.discrete:
+        # One shared decoder; generator identity enters through an embedded
+        # one-hot appended to enc_h (standard_discrete.py:168-223).
+        eye = jnp.eye(spec.num_gens)
+        enc_flat = flat(enc_b)
+        noise_flat = flat(noise)
+
+        def decode_gen(onehot_row):
+            emb = mlp_apply(params["one_hot_sample_encoder"], onehot_row)
+            emb_b = jnp.broadcast_to(emb[None], (n,) + emb.shape)
+            inp = jnp.concatenate([enc_flat, emb_b, noise_flat], axis=-1)
+            h0 = mlp_apply(params["enc_to_dec"], inp)
+            return common.relative_decoder_apply(
+                params["decoder"], xy_b, dxdy_b, social_b, h0,
+                spec.pred_len, spec.inp_format,
+            )
+
+        abs_g, rel_g = jax.vmap(decode_gen)(eye)  # (G, N, T, 2)
+    else:
+        inp = jnp.concatenate([enc_b, noise], axis=-1)
+        h0 = flat(mlp_apply(params["enc_to_dec"], inp))
+        abs_g, rel_g = common.stacked_decoders_apply(
+            params["decoders"], xy_b, dxdy_b, social_b, h0,
+            spec.pred_len, spec.inp_format,
+        )
+
+    reshape = lambda x: jnp.moveaxis(
+        x.reshape(spec.num_gens, k, s, p, spec.pred_len, 2), 0, 1
+    )
+    return GeneratorOutput(rel=reshape(rel_g), abs=reshape(abs_g))

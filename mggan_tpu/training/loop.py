@@ -1,0 +1,192 @@
+"""Training driver: epoch loop, validation, checkpoint-best, schedules.
+
+Reference: ``MultiGeneratorGAN.train`` (abstract_train.py:87-201) +
+``PiNetMultiGeneratorGAN`` step methods (train.py:18-662).  The per-batch
+work is one jitted ``train_step``; this module is thin host orchestration.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from collections import defaultdict
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mggan_tpu.config import Config, config_from_args, get_parser
+from mggan_tpu.data import augment as aug
+from mggan_tpu.data.loaders import get_dataloader
+from mggan_tpu.eval.metrics import MetricAccumulator, batch_metric_sums
+from mggan_tpu.eval.predict import Predictor
+from mggan_tpu.models import factory
+from mggan_tpu.training import checkpoints as ckpt
+from mggan_tpu.training.state import (
+    TrainState,
+    cosine_lr,
+    init_train_state,
+    set_lr,
+)
+from mggan_tpu.training.steps import batch_views, build_train_step
+from mggan_tpu.utils.logging import ExperimentWriter, load_meta_tags
+
+
+class Trainer:
+    """PiNet multi-generator GAN trainer (assert train.py:21: mgan/gan/infogan)."""
+
+    def __init__(self, config: Config, writer: ExperimentWriter, init_key=None):
+        assert config.gan_type in ("mgan", "gan", "infogan"), config.gan_type
+        self.config = config
+        self.writer = writer
+        key = init_key if init_key is not None else jax.random.PRNGKey(config.seed)
+        k_model, k_state = jax.random.split(key)
+        self.g_pack, self.d_pack = factory.construct_model(config, k_model)
+        self.g_spec, self.d_spec = self.g_pack[2], self.d_pack[2]
+        self.state = init_train_state(config, self.g_pack, self.d_pack, k_state)
+        self.train_step = build_train_step(config, self.g_spec, self.d_spec)
+        self._predictor = None
+        self._aug_rng = np.random.RandomState(config.seed + 1)
+
+        @functools.partial(jax.jit, static_argnames=("train",))
+        def _augment(rng, batch, train):
+            return aug.augment_batch(rng, batch, train)
+
+        self._augment = _augment
+
+        @functools.partial(jax.jit, static_argnames=("ks",))
+        def _metric_sums(pred_abs, batch, ks):
+            bv = batch_views(batch)
+            return batch_metric_sums(
+                pred_abs, bv.gt_xy, bv.loss_mask, batch["scale"], list(ks)
+            )
+
+        self._metric_sums = _metric_sums
+
+    # ------------------------------------------------------------------ api
+    def predictor(self) -> Predictor:
+        if self._predictor is None:
+            self._predictor = Predictor(
+                self.config, self.g_spec, self.state.g_params, self.state.g_state
+            )
+        self._predictor.g_params = self.state.g_params
+        self._predictor.g_state = self.state.g_state
+        return self._predictor
+
+    def _device_batch(self, batch, train: bool):
+        rng = jax.random.PRNGKey(self._aug_rng.randint(2**31))
+        full = self._augment(rng, {k: v for k, v in batch.items()
+                                   if k not in ("scale", "window_idx")}, train)
+        model_batch = {
+            "xy": full["xy"],
+            "ped_mask": full["ped_mask"],
+            "patches": full.get("patches"),
+        }
+        return model_batch
+
+    def train(self):
+        cfg = self.config
+        train_loader = get_dataloader(
+            cfg.dataset, "train", augment=bool(cfg.augment),
+            batch_size=cfg.batch_size, shuffle=True, max_peds=None,
+            data_root=cfg.data_root, seed=cfg.seed,
+        )
+        val_loader = get_dataloader(
+            cfg.dataset, "val", augment=False, batch_size=cfg.batch_size,
+            shuffle=False, max_peds=None, data_root=cfg.data_root,
+        )
+        track_metric = f"val/ADE k={cfg.top_k_test}"
+        best = math.inf
+        start_epoch = int(self.state.epoch)
+
+        for epoch in range(start_epoch, cfg.epochs):
+            self.state = self.state.replace(
+                epoch=jnp.asarray(epoch + 1, jnp.int32)
+            )
+            metrics = defaultdict(list)
+            for batch in train_loader:
+                model_batch = self._device_batch(batch, train=bool(cfg.augment))
+                self.state, step_metrics = self.train_step(self.state, model_batch)
+                for k, v in step_metrics.items():
+                    metrics[k].append(v)
+
+            if (epoch + 1) % cfg.val_every == 0:
+                val_metrics = self.check_accuracy(val_loader, num_k=cfg.top_k_test)
+                for k, v in val_metrics.items():
+                    metrics[f"val/{k}"].append(v)
+                cur = float(np.mean(metrics[track_metric]))
+                if cur < best:
+                    print(f"Saving best model... {track_metric}: {best} -> {cur}")
+                    best = cur
+                    self.save("checkpoint_best")
+
+            epoch_metrics = {
+                k: float(np.mean([np.asarray(v) for v in vs]))
+                for k, vs in metrics.items()
+            }
+            self.writer.log(epoch_metrics, epoch + 1)
+            if (epoch + 1) % cfg.save_every == 0:
+                self.save()
+
+            # schedules (abstract_train.py:198-200)
+            self.state = self.state.replace(
+                l2_weight=self.state.l2_weight * cfg.l2_decay_rate
+            )
+            set_lr(self.state.d_opt, cosine_lr(cfg.d_lr, epoch + 1, cfg.epochs))
+            set_lr(self.state.g_opt, cosine_lr(cfg.g_lr, epoch + 1, cfg.epochs))
+        return self
+
+    def check_accuracy(self, loader, num_k=20, predict_strategy="sampling"):
+        """Validation metrics (train.py:245-257)."""
+        pred_func = self.predictor().get_predict_func(predict_strategy)
+        acc = MetricAccumulator()
+        rng = jax.random.PRNGKey(0)
+        for i, batch in enumerate(loader):
+            model_batch = self._device_batch(batch, train=False)
+            pred_abs, _, _, _ = pred_func(
+                model_batch, jax.random.fold_in(rng, i), num=num_k
+            )
+            sums = self._metric_sums(
+                pred_abs,
+                {**model_batch, "scale": jnp.asarray(batch["scale"])},
+                (num_k,),
+            )
+            acc.update(jax.device_get(sums))
+        return acc.result()
+
+    def test(self, num_k=20, batch_size=8, **kwargs):
+        loader = get_dataloader(
+            self.config.dataset, "test", augment=False, batch_size=batch_size,
+            data_root=self.config.data_root,
+        )
+        return self.check_accuracy(loader, num_k=num_k, **kwargs)
+
+    # ---------------------------------------------------------- checkpoints
+    def save(self, name=None):
+        if name is None:
+            name = f"checkpoint_{int(self.state.epoch)}"
+        ckpt.save_checkpoint(self.writer.checkpoint_dir, self.state, name)
+
+    @classmethod
+    def load_from_path(cls, version_path, checkpoint="best"):
+        """Rebuild a trainer from a version dir (abstract_train.py:250-296)."""
+        version_path = Path(version_path)
+        assert "version" in version_path.stem, (
+            "Input path should point to a model version directory."
+        )
+        tags = load_meta_tags(version_path / "meta_tags.csv")
+        config = Config.from_dict(tags)
+        writer = ExperimentWriter(
+            version_path.parent.parent.parent,
+            version_path.parent.parent.name,
+            version_path.parent.name,
+            version=int(version_path.stem.split("_")[1]),
+            config=config,
+        )
+        trainer = cls(config, writer)
+        name = ckpt.resolve_checkpoint_name(version_path / "checkpoints", checkpoint)
+        trainer.state = ckpt.restore_checkpoint(
+            version_path / "checkpoints", jax.device_get(trainer.state), name
+        )
+        return trainer, config

@@ -1,0 +1,83 @@
+"""Train state: parameters, BN/probgan state, two optimizer chains, schedule.
+
+Replaces the reference's mutable trainer object (abstract_train.py:25-85)
+with an immutable pytree threaded through one jitted step function.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from mggan_tpu.config import Config
+
+
+@flax.struct.dataclass
+class TrainState:
+    g_params: Any
+    g_state: Any
+    d_params: Any
+    d_state: Any
+    g_opt: Any
+    d_opt: Any
+    step: jnp.ndarray  # int32 total iterations
+    epoch: jnp.ndarray  # int32, 1-based during training (abstract_train.py:110)
+    l2_weight: jnp.ndarray  # decayed per epoch (abstract_train.py:198)
+    rng: jnp.ndarray
+
+
+def make_optimizer(lr: float, beta1: float, clip: float):
+    """AdamW(lr, (beta1, 0.999), wd=0.01 torch default) with global-norm clip
+    (abstract_train.py:45-50; train.py:131-134 clipping)."""
+
+    def build(learning_rate):
+        chain = []
+        if clip and clip > 0:
+            chain.append(optax.clip_by_global_norm(clip))
+        chain.append(
+            optax.adamw(learning_rate, b1=beta1, b2=0.999, eps=1e-8, weight_decay=0.01)
+        )
+        return optax.chain(*chain)
+
+    return optax.inject_hyperparams(build)(learning_rate=lr)
+
+
+def cosine_lr(base_lr: float, epoch: int, total_epochs: int) -> float:
+    """CosineAnnealingLR stepped per epoch, eta_min=0 (abstract_train.py:52-57)."""
+    return base_lr * 0.5 * (1.0 + float(np.cos(np.pi * epoch / total_epochs)))
+
+
+def set_lr(opt_state, lr: float):
+    """Update the injected learning-rate hyperparameter in an optax state."""
+    opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, dtype=jnp.float32)
+    return opt_state
+
+
+def init_train_state(config: Config, g_pack, d_pack, rng) -> TrainState:
+    g_params, g_state, _ = g_pack
+    d_params, d_state, _ = d_pack
+    tx_g = make_optimizer(config.g_lr, config.beta1, config.clipping_threshold_g)
+    tx_d = make_optimizer(config.d_lr, config.beta1, config.clipping_threshold_d)
+    return TrainState(
+        g_params=g_params,
+        g_state=g_state,
+        d_params=d_params,
+        d_state=d_state,
+        g_opt=tx_g.init(g_params),
+        d_opt=tx_d.init(d_params),
+        step=jnp.asarray(0, jnp.int32),
+        epoch=jnp.asarray(0, jnp.int32),
+        l2_weight=jnp.asarray(config.l2_loss_weight, jnp.float32),
+        rng=rng,
+    )
+
+
+def optimizers(config: Config):
+    tx_g = make_optimizer(config.g_lr, config.beta1, config.clipping_threshold_g)
+    tx_d = make_optimizer(config.d_lr, config.beta1, config.clipping_threshold_d)
+    return tx_g, tx_d
