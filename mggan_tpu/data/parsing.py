@@ -1,0 +1,203 @@
+"""File ingestion: txt parsing, windowing, image pyramid, big-patch crops.
+
+Replaces the reference's eager per-file Python windowing
+(trajectories_scene.py:125-201, BaseTrajectories.py:70-155) with vectorised
+numpy: the 20-frame sliding windows and the full-presence filter are
+computed with a presence matrix instead of per-ped loops.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from mggan_tpu.config import OBS_LEN
+from mggan_tpu.data.dataset import SceneDataset, SEQ_LEN, extract_big_patches
+from mggan_tpu.data import registry
+
+
+def load_txt(path: Path, info: registry.DatasetInfo) -> np.ndarray:
+    """-> float array with columns (frame, ID, x, y[, is_active]).
+
+    Applies row filters (SDD label/lost), frame subsampling for datasets with
+    a framerate (frame % round(framerate*0.4) == 0, then renumbered;
+    BaseTrajectories.py:145-147), and the BIWI y/x column swap.
+    """
+    import pandas as pd
+
+    df = pd.read_csv(path, header=None, delimiter=info.delim)
+    df.columns = info.data_columns[: len(df.columns)]
+    for col, val in info.row_filters.items():
+        if col in df:
+            df = df[df[col] == val]
+    if info.framerate is not None:
+        step = int(round(info.framerate * 0.4))
+        df = df[df["frame"] % step == 0].copy()
+        df["frame"] = df["frame"] // step
+    cols = ["frame", "ID", "x", "y"]
+    if "is_active" in df.columns:
+        cols.append("is_active")
+    return np.asarray(df[cols].values, dtype=np.float64)
+
+
+def window_scene(data: np.ndarray, skip: int = 1):
+    """Slide 20-frame windows; keep peds present in all 20 consecutive frames
+    (trajectories_scene.py:149-181).
+
+    Args:
+        data: (rows, 4|5) (frame, ID, x, y[, is_active]).
+
+    Returns:
+        list of (xy (n,20,2) float32 [NaN future if inactive], ped_ids (n,)).
+    """
+    if len(data) == 0:
+        return []
+    frames = np.unique(data[:, 0])
+    frames.sort()
+    frame_index = {f: i for i, f in enumerate(frames)}
+    ids = np.unique(data[:, 1])
+    id_index = {p: i for i, p in enumerate(ids)}
+
+    nf, np_ = len(frames), len(ids)
+    pos = np.full((np_, nf, 2), np.nan, np.float32)
+    active = np.ones((np_, nf), bool)
+    fi = np.array([frame_index[f] for f in data[:, 0]])
+    pi = np.array([id_index[p] for p in data[:, 1]])
+    pos[pi, fi] = data[:, 2:4]
+    if data.shape[1] == 5:
+        active[pi, fi] = data[:, 4] != 0
+    present = np.zeros((np_, nf), bool)
+    present[pi, fi] = True
+
+    # consecutive-frame requirement: window frames must be contiguous ints
+    contiguous = np.zeros(nf, bool)
+    num_seq = int(np.ceil((nf - SEQ_LEN) / skip)) if nf >= SEQ_LEN else 0
+    out = []
+    for start in range(0, max(num_seq, 0) * skip, skip):
+        fr = frames[start : start + SEQ_LEN]
+        if len(fr) < SEQ_LEN or (np.diff(fr) != 1).any():
+            continue
+        window_present = present[:, start : start + SEQ_LEN].all(axis=1)
+        if not window_present.any():
+            continue
+        sel = np.where(window_present)[0]
+        xy = pos[sel, start : start + SEQ_LEN].copy()
+        act = active[sel, start : start + SEQ_LEN]
+        inactive = ~act.all(axis=1)
+        xy[inactive, OBS_LEN:] = np.nan  # trajectories_scene.py:171-175
+        out.append((xy.astype(np.float32), ids[sel].astype(np.int64)))
+    return out
+
+
+def build_image_entry(img: np.ndarray, info: registry.DatasetInfo, ratio: float):
+    """Scene-image pyramid entry (BaseTrajectories.py:70-121): rescale to the
+    canonical 0.05 m/px 'scaled' image, then to the patch ('small') image at
+    ``scaling_small`` m/px."""
+    import cv2
+
+    if info.homography != "none":
+        scale_factor = ratio / info.img_scaling
+        new_size = (
+            int(round(img.shape[1] * scale_factor)),
+            int(round(img.shape[0] * scale_factor)),
+        )
+        scaled = cv2.resize(img, new_size, interpolation=cv2.INTER_AREA)
+    else:
+        scale_factor = 1.0
+        scaled = img
+    f_small = info.img_scaling / info.scaling_small
+    small_size = (
+        max(int(round(scaled.shape[1] * f_small)), 1),
+        max(int(round(scaled.shape[0] * f_small)), 1),
+    )
+    small = cv2.resize(scaled, small_size, interpolation=cv2.INTER_AREA)
+    return {"ratio": ratio, "scale_factor": scale_factor, "small": small}
+
+
+def load_scene_dataset(name: str, phase: str, data_root="./data/datasets",
+                       skip: int = 1) -> SceneDataset:
+    """Full ingestion for one dataset/phase directory.
+
+    Directory layout (reference README + experiments.py): txt files named
+    ``<phase>_<scene>.txt`` (anything before the first underscore is
+    dropped, trajectories_scene.py:135) and scene images ``<scene>.jpg``.
+    """
+    import cv2
+
+    info = registry.get_info(name)
+    d = registry.phase_dir(data_root, name, phase)
+    if not d.is_dir():
+        raise FileNotFoundError(
+            f"dataset dir {d} not found — download the reference data release "
+            f"into {Path(data_root) / name}"
+        )
+
+    ratios = {}
+    if info.homography == "sdd_csv":
+        ratios = registry.load_sdd_ratios(data_root, name)
+    elif info.homography == "gofp_table":
+        ratios = dict(registry.GOFP_RATIOS)
+
+    images = {}
+    for img_path in sorted(d.glob("*.jpg")):
+        scene = img_path.stem
+        if scene.endswith("-op"):
+            continue  # occupancy variants unused (load_occupancy=False)
+        img = cv2.cvtColor(cv2.imread(str(img_path)), cv2.COLOR_BGR2RGB)
+        images[scene] = build_image_entry(img, info, ratios.get(scene, 1.0))
+    if not images:
+        raise AssertionError(f"No valid images in folder {d}")
+
+    trajs, names, ped_ids, patch_list = [], [], [], []
+    for txt in sorted(d.glob("*.txt")):
+        scene = "_".join(txt.stem.split("_")[1:]) or txt.stem
+        if scene not in images:
+            continue
+        data = load_txt(txt, info)
+        windows = window_scene(data, skip=skip)
+        entry = images[scene]
+        for xy, pids in windows:
+            xy_m = xy.copy()
+            if info.scale:
+                xy_m *= entry["scale_factor"]  # scale_func
+            if info.norm2meters:
+                xy_m *= info.img_scaling  # scale2meters
+            trajs.append(xy_m)
+            names.append(scene)
+            ped_ids.append(pids)
+            centers = xy_m[:, OBS_LEN - 1] / info.scaling_small
+            patch_list.append(extract_big_patches(entry["small"], centers))
+
+    return SceneDataset(
+        dataset_name=name,
+        trajectories=trajs,
+        scene_names=names,
+        images=images,
+        big_patches=patch_list,
+        format="meter" if (info.fmt == "meter" or info.norm2meters) else info.fmt,
+        px_per_meter=1.0 / info.scaling_small,
+        ped_ids=ped_ids,
+    )
+
+
+def filter_split(ds: SceneDataset, split: str) -> SceneDataset:
+    """Upper/lower intersection filter for the synthetic SDD sets
+    (data_loaders.py:40-64): keep windows where any ped's position at the
+    first prediction step has y > 16 (lower) / <= 16 (upper)."""
+    keep = []
+    for i, traj in enumerate(ds.trajectories):
+        y8 = traj[:, OBS_LEN, 1]
+        sel = (y8 > 16.0) if split == "lower" else (y8 <= 16.0)
+        if np.any(sel):
+            keep.append(i)
+    return SceneDataset(
+        dataset_name=ds.dataset_name,
+        trajectories=[ds.trajectories[i] for i in keep],
+        scene_names=[ds.scene_names[i] for i in keep],
+        images=ds.images,
+        big_patches=[ds.big_patches[i] for i in keep] if ds.big_patches else None,
+        format=ds.format,
+        px_per_meter=ds.px_per_meter,
+        ped_ids=[ds.ped_ids[i] for i in keep] if ds.ped_ids else None,
+    )

@@ -1,0 +1,43 @@
+"""Data-parallel (+ optional generator-parallel) train step over a mesh.
+
+The step function is the same single-chip program; GSPMD partitions it from
+the input shardings: the batch's scene axis rides the ``data`` ICI axis,
+masked loss means/sums become cross-shard psums, and (when gp > 1) the
+stacked-decoder vmap is split over ``model``, with the one-hot sample gather
+contracting over the generator axis via an all-reduce.
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from mggan_tpu.parallel.mesh import batch_shardings, replicated, state_shardings
+from mggan_tpu.training.steps import build_train_step
+
+
+def make_parallel_train_step(config, g_spec, d_spec, mesh, state, example_batch,
+                             donate: bool = True):
+    """Returns (sharded_step, sharded_state).
+
+    ``state`` is re-laid-out according to the mesh; call the returned step
+    with batches laid out by ``shard_batch`` (or plain host arrays — jit will
+    move them).
+    """
+    impl = build_train_step(config, g_spec, d_spec, jit=False)
+    st_sh = state_shardings(mesh, state)
+    b_sh = batch_shardings(mesh, example_batch)
+    metrics_sh = None  # let GSPMD choose (scalars -> replicated)
+
+    step = jax.jit(
+        impl,
+        in_shardings=(st_sh, b_sh),
+        out_shardings=(st_sh, metrics_sh),
+        donate_argnums=(0,) if donate else (),
+    )
+    state = jax.device_put(state, st_sh)
+    return step, state
+
+
+def shard_batch(mesh, batch):
+    return jax.device_put(batch, batch_shardings(mesh, batch))

@@ -133,8 +133,12 @@ def _gradient_penalty(d_params, d_state, d_spec, bv: BatchViews, pred, rng,
     return L.masked_mean((norms - 1.0) ** 2, bv.loss_mask) * gp_lambda
 
 
-def build_train_step(config: Config, g_spec, d_spec):
-    """Compile-time specialization over the full config surface."""
+def build_train_step(config: Config, g_spec, d_spec, jit: bool = True):
+    """Compile-time specialization over the full config surface.
+
+    With ``jit=False`` the raw step function is returned so callers (the
+    parallel layer) can jit it with explicit shardings.
+    """
     phi_1, phi_2, phi_3 = L.phi_losses(config.gan_obj)
     tx_g, tx_d = optimizers(config)
     num_samples = config.num_samples
@@ -336,7 +340,6 @@ def build_train_step(config: Config, g_spec, d_spec):
         return state.replace(g_params=g_params, g_opt=g_opt), metrics
 
     # --------------------------------------------------------------- step --
-    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch):
         bv = batch_views(batch)
         rng, kd, kg, kpm = jax.random.split(state.rng, 4)
@@ -370,6 +373,15 @@ def build_train_step(config: Config, g_spec, d_spec):
                 state, pm_metrics = pm_step(state, bv, kpm)
                 metrics.update(pm_metrics)
             state = state.replace(d_params=d_backup)
+        elif config.num_gen_steps <= 1:
+            # gate condition is identically true -> no cond, half the compile
+            state, d_metrics = d_step(state, bv, kd)
+            metrics.update(d_metrics)
+            state, g_metrics = g_step(state, bv, kg)
+            metrics.update(g_metrics)
+            if config.weighting_target != "none":
+                state, pm_metrics = pm_step(state, bv, kpm)
+                metrics.update(pm_metrics)
         else:
             def do_d_branch(st):
                 st2, m = d_step(st, bv, kd)
@@ -402,4 +414,6 @@ def build_train_step(config: Config, g_spec, d_spec):
         state = state.replace(step=state.step + 1)
         return state, metrics
 
+    if jit:
+        return jax.jit(train_step, donate_argnums=(0,))
     return train_step

@@ -1,0 +1,110 @@
+"""Data-layer tests with synthesized files on disk (BIWI + GOFP formats)."""
+
+import numpy as np
+import pytest
+
+from mggan_tpu.config import OBS_LEN
+from mggan_tpu.data import parsing, registry
+from mggan_tpu.data.dataset import BIG_PATCH
+
+
+def write_biwi(tmp_path, phase="train", n_frames=30, n_peds=3):
+    """BIWI-format txt: frame, ID, y, x (meters); plus scene jpg."""
+    import cv2
+
+    d = tmp_path / "eth" / phase
+    d.mkdir(parents=True)
+    rows = []
+    rng = np.random.RandomState(0)
+    starts = rng.uniform(2, 10, (n_peds, 2))
+    for f in range(n_frames):
+        for p in range(n_peds):
+            if p == 2 and f < 5:
+                continue  # ped 2 enters late
+            x, y = starts[p] + 0.3 * f
+            rows.append(f"{float(f)}\t{float(p)}\t{y}\t{x}")
+    (d / f"{phase}_eth.txt").write_text("\n".join(rows))
+    img = np.zeros((64, 96, 3), np.uint8)
+    img[:, :, 0] = 255
+    cv2.imwrite(str(d / "eth.jpg"), img)
+    return tmp_path
+
+
+def test_biwi_parse_and_window(tmp_path):
+    root = write_biwi(tmp_path)
+    ds = parsing.load_scene_dataset("eth", "train", data_root=root)
+    # frames 0..29, seq_len 20 -> ceil((30-20)/1)=10 windows; ped 2 present
+    # only in windows starting at frame >= 5
+    assert len(ds) == 10
+    sizes = [len(t) for t in ds.trajectories]
+    assert sizes[:5] == [2] * 5 and sizes[5:] == [3] * 5
+    # column swap: file stores (y, x); trajectory must be (x, y)
+    t0 = ds.trajectories[0]
+    assert t0.shape == (2, 20, 2)
+    # velocity is +0.3/frame in both coords here, positions finite
+    assert np.isfinite(t0).all()
+    step = t0[:, 1] - t0[:, 0]
+    np.testing.assert_allclose(step, 0.3, atol=1e-5)
+    # big patches shaped and non-empty
+    assert ds.big_patches[0].shape == (2, BIG_PATCH, BIG_PATCH, 3)
+    assert ds.big_patches[0].max() > 0
+
+
+def test_gofp_is_active_nan(tmp_path):
+    import cv2
+
+    d = tmp_path / "gofp" / "test"
+    d.mkdir(parents=True)
+    rows = []
+    # 10 fps, 0.4s step -> keep frames % 4 == 0
+    for f in range(0, 96, 4):
+        for p in range(2):
+            active = 0 if (p == 1 and f == 40) else 1
+            rows.append(
+                f"{float(f)}\t{float(p)}\t{10.0 + f}\t{20.0 + f}\t0\t0\t{p}\t{active}"
+            )
+    (d / "test_zara1.txt").write_text("\n".join(rows))
+    img = np.full((100, 100, 3), 128, np.uint8)
+    cv2.imwrite(str(d / "zara1.jpg"), img)
+
+    ds = parsing.load_scene_dataset("gofp", "test", data_root=tmp_path)
+    assert len(ds) > 0
+    ratio = registry.GOFP_RATIOS["zara1"]
+    # windows covering subsampled frame 10 (original 40) have ped 1 future NaN
+    found_nan = False
+    for traj in ds.trajectories:
+        if np.isnan(traj[:, OBS_LEN:]).any():
+            found_nan = True
+            assert np.isfinite(traj[:, :OBS_LEN]).all()
+    assert found_nan
+    # pixel -> meter conversion via ratio table
+    t0 = ds.trajectories[0]
+    assert np.nanmax(t0) < 200 * ratio + 1
+
+
+def test_sdd_subsample_and_ratio(tmp_path):
+    import cv2
+
+    root = tmp_path
+    d = root / "stanford" / "val"
+    d.mkdir(parents=True)
+    (root / "stanford" / "H_SDD.txt").write_text(
+        "File\tVersion\tRatio\nsc0.jpg\tA\t0.04\n"
+    )
+    rows = []
+    for f in range(0, 12 * 30 * 25, 12):  # 30fps*0.4 = 12-frame step
+        for p in range(2):
+            x, y = 100 + p * 50 + f * 0.01, 200 + f * 0.01
+            rows.append(
+                f"{p}\t0\t0\t0\t0\t{f}\t0\t0\t0\tPedestrian\t{x}\t{y}"
+            )
+    (d / "val_sc0.txt").write_text("\n".join(rows))
+    img = np.full((300, 300, 3), 64, np.uint8)
+    cv2.imwrite(str(d / "sc0.jpg"), img)
+
+    ds = parsing.load_scene_dataset("stanford", "val", data_root=root)
+    assert len(ds) > 0
+    # positions converted into meters: raw_px * (ratio/0.05) * 0.05
+    t0 = ds.trajectories[0]
+    np.testing.assert_allclose(t0[0, 0, 0], (100) * 0.04, rtol=1e-5)
+    assert ds.eval_scaling(0) == pytest.approx(1 / 0.04)
