@@ -1,0 +1,106 @@
+"""Trajectory / scene / manifold plotting (reference visualization.py:6-249).
+
+Pure matplotlib, host-side; predictions arrive as numpy in the reference
+layout. Per-generator coloring mirrors the reference's coloring of samples
+by the generator that produced them.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_GEN_COLORS = [
+    "tab:blue", "tab:orange", "tab:green", "tab:red", "tab:purple",
+    "tab:brown", "tab:pink", "tab:gray", "tab:olive", "tab:cyan",
+]
+
+
+def plot_trajectories(obs, gt=None, preds=None, gen_idxs=None, ax=None,
+                      scene_img=None, px_per_meter=None, legend=True):
+    """Plot one agent's observation, ground truth, and prediction samples.
+
+    Args:
+        obs:  (obs_len, 2) observed trajectory (meters).
+        gt:   optional (pred_len, 2) ground-truth future.
+        preds: optional (k, pred_len, 2) prediction samples.
+        gen_idxs: optional (k,) generator index per sample for coloring.
+        scene_img: optional HxWx3 image drawn underneath (with
+            ``px_per_meter`` to register coordinates).
+    """
+    import matplotlib.pyplot as plt
+
+    if ax is None:
+        _, ax = plt.subplots()
+    scale = 1.0
+    if scene_img is not None:
+        ax.imshow(scene_img)
+        scale = px_per_meter or 1.0
+
+    obs = np.asarray(obs) * scale
+    ax.plot(obs[:, 0], obs[:, 1], "k-o", ms=2, lw=2, label="observed")
+    if preds is not None:
+        preds = np.asarray(preds) * scale
+        seen = set()
+        for k in range(len(preds)):
+            g = int(gen_idxs[k]) if gen_idxs is not None else 0
+            color = _GEN_COLORS[g % len(_GEN_COLORS)]
+            label = f"gen {g}" if (legend and g not in seen) else None
+            seen.add(g)
+            full = np.concatenate([obs[-1:], preds[k]], 0)
+            ax.plot(full[:, 0], full[:, 1], "-", color=color, alpha=0.6,
+                    lw=1, label=label)
+    if gt is not None:
+        gt = np.asarray(gt) * scale
+        full = np.concatenate([obs[-1:], gt], 0)
+        ax.plot(full[:, 0], full[:, 1], "g--", lw=2, label="ground truth")
+    if legend:
+        ax.legend(loc="best", fontsize=7)
+    ax.set_aspect("equal")
+    return ax
+
+
+def plot_trajectories_by_idxs(obs, gt, preds, color_idxs, ax=None):
+    """Color samples by an arbitrary integer label (e.g. manifold membership;
+    reference visualization usage in evaluation.py:137-141)."""
+    return plot_trajectories(obs, gt, preds, gen_idxs=color_idxs, ax=ax)
+
+
+def plot_scene(batch, window, preds=None, gen_idxs=None, ax=None):
+    """Plot all agents of one padded-batch window.
+
+    batch: dict with xy (S,P,20,2), ped_mask; window: scene row index.
+    preds: optional (k,P,pred_len,2).
+    """
+    import matplotlib.pyplot as plt
+
+    if ax is None:
+        _, ax = plt.subplots()
+    xy = np.asarray(batch["xy"][window])
+    mask = np.asarray(batch["ped_mask"][window])
+    for p in np.where(mask)[0]:
+        plot_trajectories(
+            xy[p, :8],
+            xy[p, 8:] if np.isfinite(xy[p, 8:]).all() else None,
+            None if preds is None else preds[:, p],
+            gen_idxs,
+            ax=ax,
+            legend=(p == 0),
+        )
+    return ax
+
+
+def plot_manifold_with_preds(manifold, preds, obs=None, ax=None):
+    """Overlay a GT manifold with prediction samples colored by membership."""
+    import matplotlib.pyplot as plt
+
+    if ax is None:
+        _, ax = plt.subplots()
+    manifold.plot_manifold(time=None, axes=ax)
+    inside = manifold.compute_inside(preds)
+    for i, p in enumerate(np.asarray(preds)):
+        ax.plot(p[:, 0], p[:, 1], "-", lw=1,
+                color="tab:green" if inside[i] else "tab:red", alpha=0.7)
+    if obs is not None:
+        obs = np.asarray(obs)
+        ax.plot(obs[:, 0], obs[:, 1], "k-", lw=2)
+    return ax
