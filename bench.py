@@ -22,7 +22,7 @@ def main():
     from mggan_tpu.models import factory
     from mggan_tpu.training.steps import batch_views, _g_forward_sampled
 
-    S, P, K = 64, 16, 20
+    S, P, K = 4096, 16, 20
     cfg = Config(
         dataset="synthetic_memory", num_gens=4, gan_type="mgan",
         weighting_target="ml", h_dim=32, decoder_h_dim=32,

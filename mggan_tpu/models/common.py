@@ -106,8 +106,24 @@ def relative_decoder_apply(
 
     Returns:
         (abs, rel): each (N, pred_len, 2).
+
+    TPU optimisation: the reference applies ``spatial_embedding`` then feeds
+    the LSTM (common_modules.py:118-119) with no nonlinearity in between, so
+    the embedding folds algebraically into the gate matmul:
+    ``gates = [to_embed, h] @ [[We @ W_ih], [W_hh]] + (be @ W_ih + b)`` —
+    ONE fused MXU matmul per step instead of three. Likewise the social
+    features are constant across steps, so their hidden2pos contribution
+    ``social @ W1_soc`` is hoisted out of the scan.
     """
     c0 = jnp.zeros_like(h0)
+    emb, lstm, h2p = params["spatial_embedding"], params["lstm"], params["hidden2pos"]
+    w_comb = jnp.concatenate([emb["w"] @ lstm["w_ih"], lstm["w_hh"]], axis=0)
+    b_comb = emb["b"] @ lstm["w_ih"] + lstm["b_ih"] + lstm["b_hh"]
+
+    h_dim = lstm["w_hh"].shape[0]
+    w1 = h2p["lin0"]["w"]  # (h + F, h//2)
+    w1_h, w1_soc = w1[:h_dim], w1[h_dim:]
+    soc_contrib = social_feats @ w1_soc + h2p["lin0"]["b"]  # hoisted
 
     def step(carry, _):
         h, c, xy, dxdy = carry
@@ -117,10 +133,12 @@ def relative_decoder_apply(
             to_embed = xy
         else:
             to_embed = jnp.concatenate([xy, dxdy], axis=-1)
-        x = linear_apply(params["spatial_embedding"], to_embed)
-        h, c = lstm_cell(params["lstm"], x, h, c)
-        pos_inp = jnp.concatenate([h, social_feats], axis=-1)
-        new_dxdy = mlp_apply(params["hidden2pos"], pos_inp, activation="leaky_relu")
+        gates = jnp.concatenate([to_embed, h], axis=-1) @ w_comb + b_comb
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h = jax.nn.sigmoid(o) * jnp.tanh(c)
+        hid = jax.nn.leaky_relu(h @ w1_h + soc_contrib, 0.01)
+        new_dxdy = linear_apply(h2p["lin1"], hid)
         new_xy = xy + new_dxdy
         return (h, c, new_xy, new_dxdy), (new_xy, new_dxdy)
 

@@ -46,6 +46,10 @@ def lstm_cell(params, x, h, c):
 def lstm_scan(params, xs, h0=None, c0=None):
     """Run an LSTM over the leading time axis.
 
+    TPU optimisation: the input contribution ``x @ W_ih + b`` for ALL
+    timesteps is one big (T*N, in)x(in, 4h) MXU matmul hoisted out of the
+    scan; the recurrent step only does ``h @ W_hh`` + pointwise gates.
+
     Args:
         xs: (T, N, in) time-major inputs.
         h0/c0: optional (N, hidden) initial state (defaults zero, matching
@@ -62,10 +66,15 @@ def lstm_scan(params, xs, h0=None, c0=None):
     if c0 is None:
         c0 = jnp.zeros((n, hidden), dtype)
 
-    def step(carry, x):
-        h, c = carry
-        h, c = lstm_cell(params, x, h, c)
-        return (h, c), h
+    x_gates = xs @ params["w_ih"] + (params["b_ih"] + params["b_hh"])
 
-    (h_t, c_t), hs = jax.lax.scan(step, (h0, c0), xs)
+    def step(carry, xg):
+        h, c = carry
+        gates = xg + h @ params["w_hh"]
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+        return (h_new, c_new), h_new
+
+    (h_t, c_t), hs = jax.lax.scan(step, (h0, c0), x_gates)
     return hs, (h_t, c_t)
