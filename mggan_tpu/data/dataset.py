@@ -80,9 +80,17 @@ def extract_big_patches(small_img: np.ndarray, centers_px: np.ndarray) -> np.nda
     """
     h, w = small_img.shape[:2]
     n = len(centers_px)
-    out = np.zeros((n, BIG_PATCH, BIG_PATCH, 3), np.uint8)
     cx = centers_px[:, 0].astype(np.int64)
     cy = centers_px[:, 1].astype(np.int64)
+
+    from mggan_tpu import native
+
+    if native.available():
+        return native.extract_patches(
+            small_img, np.stack([cx, cy], 1), BIG_MARGIN
+        )
+
+    out = np.zeros((n, BIG_PATCH, BIG_PATCH, 3), np.uint8)
     for i in range(n):
         x0, y0 = cx[i] - BIG_MARGIN, cy[i] - BIG_MARGIN
         x1, y1 = x0 + BIG_PATCH, y0 + BIG_PATCH

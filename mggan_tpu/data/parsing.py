@@ -17,6 +17,36 @@ from mggan_tpu.data.dataset import SceneDataset, SEQ_LEN, extract_big_patches
 from mggan_tpu.data import registry
 
 
+def _load_txt_native(path, info: registry.DatasetInfo):
+    """Fast path: the C++ tokenizer (native/src/host_ops.cpp) for fully
+    numeric files (BIWI/GOFP).  Returns None when unavailable or when the
+    file has non-numeric columns (SDD label strings) — callers fall back to
+    pandas."""
+    if info.row_filters:
+        return None  # filters reference string columns
+    from mggan_tpu import native
+
+    if not native.available():
+        return None
+    flat = native.parse_numeric_txt(path)
+    if flat is None:
+        return None
+    ncol = len(info.data_columns)
+    if len(flat) % ncol != 0:
+        return None
+    arr = flat.reshape(-1, ncol)
+    cols = {c: i for i, c in enumerate(info.data_columns)}
+    take = [cols["frame"], cols["ID"], cols["x"], cols["y"]]
+    if "is_active" in cols:
+        take.append(cols["is_active"])
+    out = arr[:, take]
+    if info.framerate is not None:
+        step = int(round(info.framerate * 0.4))
+        out = out[out[:, 0] % step == 0].copy()
+        out[:, 0] = out[:, 0] // step
+    return out
+
+
 def load_txt(path: Path, info: registry.DatasetInfo) -> np.ndarray:
     """-> float array with columns (frame, ID, x, y[, is_active]).
 
@@ -24,6 +54,10 @@ def load_txt(path: Path, info: registry.DatasetInfo) -> np.ndarray:
     a framerate (frame % round(framerate*0.4) == 0, then renumbered;
     BaseTrajectories.py:145-147), and the BIWI y/x column swap.
     """
+    fast = _load_txt_native(path, info)
+    if fast is not None:
+        return fast
+
     import pandas as pd
 
     df = pd.read_csv(path, header=None, delimiter=info.delim)
