@@ -108,6 +108,41 @@ def social_attention_apply(params, last_xy, last_dxdy, enc_h, mask):
     return out.reshape(lead + out.shape[1:])
 
 
+def social_pooling_apply(params, last_xy, enc_h, mask,
+                         neighborhood_size=2.0, grid_size=8):
+    """Masked grid-based Social-LSTM pooling (``SocialPooling``,
+    social_gan.py:232-358).
+
+    Each ped i owns a grid_size x grid_size grid spanning
+    ``neighborhood_size`` centred on it; every in-bounds peer j scatter-adds
+    its hidden state into cell(i, j).  The reference's scatter_add over an
+    offset trick becomes a one-hot einsum over the dense pair tensor.
+
+    params = {"pool": mlp [grid^2 * H, H]}.
+    Returns (S, P, H).
+    """
+    s, p, h = enc_h.shape
+    g2 = grid_size * grid_size
+    rel = last_xy[:, None, :, :] - last_xy[:, :, None, :]  # pos_j - pos_i
+    half = neighborhood_size / 2.0
+    # cell coordinates relative to ped i's top-left corner
+    cell_x = jnp.floor((rel[..., 0] + half) / neighborhood_size * grid_size)
+    # reference measures y downward from the top bound (social_gan.py:273-276)
+    cell_y = jnp.floor((half - rel[..., 1]) / neighborhood_size * grid_size)
+    in_bounds = (
+        (cell_x >= 0) & (cell_x < grid_size) & (cell_y >= 0) & (cell_y < grid_size)
+    )
+    eye = jnp.eye(p, dtype=bool)[None]
+    valid = in_bounds & mask[:, None, :] & mask[:, :, None] & ~eye
+    cell = (cell_x + cell_y * grid_size).astype(jnp.int32)
+    cell = jnp.clip(cell, 0, g2 - 1)
+    onehot = jax.nn.one_hot(cell, g2) * valid[..., None]
+    pooled = jnp.einsum("sijg,sjh->sigh", onehot, enc_h)  # (S,P,G2,H)
+    pooled = pooled.reshape(s, p, g2 * h)
+    out = mlp_apply(params["pool"], pooled, activation="relu")
+    return jnp.where(mask[..., None], out, 0.0)
+
+
 def pool_hidden_net_apply(params, last_xy, enc_h, mask, activation="relu"):
     """Masked SGAN pooling (``PoolHiddenNet.forward``, social_gan.py:201-229).
 
