@@ -101,9 +101,30 @@ class Predictor:
             return out.abs
 
         self._decode_with_noise = _decode_with_noise
+        self._mesh = None
+
+    def shard_to(self, mesh):
+        """Enable data-parallel sampling: batches are scene-sharded over the
+        mesh's ``data`` axis, params replicated; GSPMD partitions the decode
+        (the TPU eval analog of SURVEY.md §5 'pmapped batched sampling')."""
+        from mggan_tpu.parallel.mesh import replicated
+
+        self._mesh = mesh
+        rep = replicated(mesh)
+        self.g_params = jax.device_put(self.g_params, rep)
+        self.g_state = jax.device_put(self.g_state, rep)
+        return self
+
+    def _maybe_shard(self, batch):
+        if self._mesh is None:
+            return batch
+        from mggan_tpu.parallel.dp import shard_batch
+
+        return shard_batch(self._mesh, batch)
 
     # ------------------------------------------------------------- helpers
     def _run(self, batch, rng, num):
+        batch = self._maybe_shard(batch)
         abs_all, rel_all, logits, noise = self._decode_all(
             self.g_params, self.g_state, batch, rng, num
         )
@@ -163,6 +184,7 @@ class Predictor:
         ("no GAN's land", train.py:467-551)."""
         assert self.config.num_gens == 1, "Only implemented for single generator"
         assert 0.0 < truncation_ratio <= 1.0
+        batch = self._maybe_shard(batch)
         total = num + ceil((1 - truncation_ratio) * num)
 
         k0, *ks = jax.random.split(rng, n_estimate + 1)

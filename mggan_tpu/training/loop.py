@@ -105,7 +105,9 @@ class Trainer:
                 epoch=jnp.asarray(epoch + 1, jnp.int32)
             )
             metrics = defaultdict(list)
-            for batch in train_loader:
+            from mggan_tpu.data.prefetch import Prefetcher
+
+            for batch in Prefetcher(train_loader):
                 model_batch = self._device_batch(batch, train=bool(cfg.augment))
                 self.state, step_metrics = self.train_step(self.state, model_batch)
                 for k, v in step_metrics.items():

@@ -1,0 +1,78 @@
+"""Determinism + checkpoint round-trip (SURVEY.md §5: explicit PRNG
+plumbing gives real determinism; orbax resume must be exact)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mggan_tpu.config import Config
+from mggan_tpu.data.loaders import get_dataloader
+from mggan_tpu.eval.predict import Predictor
+from mggan_tpu.parallel import mesh as mesh_lib
+from mggan_tpu.training import checkpoints as ckpt
+from mggan_tpu.training.loop import Trainer
+from mggan_tpu.utils.logging import ExperimentWriter
+
+
+def make_trainer(tmp_path, version=11, **kw):
+    cfg = Config(
+        dataset="synthetic_memory", batch_size=4, num_gens=2, epochs=2,
+        num_samples=4, h_dim=16, decoder_h_dim=16, top_k_test=3,
+        log_dir=str(tmp_path), **kw,
+    )
+    writer = ExperimentWriter(tmp_path, cfg.experiment, cfg.name,
+                              version=version, config=cfg, tensorboard=False)
+    return Trainer(cfg, writer), cfg
+
+
+def test_same_seed_same_step(tmp_path):
+    batch = get_dataloader("synthetic_memory", "train", batch_size=4).make_batch(
+        np.arange(4)
+    )
+    results = []
+    for _ in range(2):
+        tr, _ = make_trainer(tmp_path)
+        mb = tr._device_batch(batch, train=False)
+        tr.state, m = tr.train_step(tr.state, mb)
+        results.append({k: float(v) for k, v in m.items()})
+    assert results[0] == results[1]
+
+
+def test_checkpoint_roundtrip_exact(tmp_path):
+    tr, cfg = make_trainer(tmp_path, version=12)
+    batch = get_dataloader("synthetic_memory", "train", batch_size=4).make_batch(
+        np.arange(4)
+    )
+    mb = tr._device_batch(batch, train=False)
+    tr.state, _ = tr.train_step(tr.state, mb)
+    tr.state = tr.state.replace(epoch=jnp.asarray(1, jnp.int32))
+    tr.save("checkpoint_1")
+
+    tr2, _ = make_trainer(tmp_path, version=12)
+    restored = ckpt.restore_checkpoint(
+        tr.writer.checkpoint_dir, jax.device_get(tr2.state), "checkpoint_1"
+    )
+    for a, b in zip(jax.tree.leaves(tr.state), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # continuing from the restore produces identical next-step metrics
+    tr.state, m1 = tr.train_step(tr.state, mb)
+    tr2.state, m2 = tr2.train_step(restored, mb)
+    for k in m1:
+        assert float(m1[k]) == float(m2[k]), k
+
+
+def test_sharded_prediction_matches_single(tmp_path):
+    tr, cfg = make_trainer(tmp_path, version=13)
+    loader = get_dataloader("synthetic_memory", "val", batch_size=4)
+    batch = loader.make_batch(np.arange(4))
+    mb = tr._device_batch(batch, train=False)
+
+    p1 = Predictor(cfg, tr.g_spec, tr.state.g_params, tr.state.g_state)
+    a1, _, probs1, _ = p1.predict(mb, jax.random.PRNGKey(0), num=4)
+
+    mesh = mesh_lib.make_mesh(dp=4, gp=1)
+    p2 = Predictor(cfg, tr.g_spec, tr.state.g_params, tr.state.g_state).shard_to(mesh)
+    a2, _, probs2, _ = p2.predict(mb, jax.random.PRNGKey(0), num=4)
+    np.testing.assert_allclose(np.asarray(probs1), np.asarray(probs2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol=1e-4)
