@@ -123,10 +123,12 @@ class Trainer:
                     best = cur
                     self.save("checkpoint_best")
 
-            epoch_metrics = {
-                k: float(np.mean([np.asarray(v) for v in vs]))
-                for k, vs in metrics.items()
-            }
+            epoch_metrics = {}
+            for k, vs in metrics.items():
+                vals = np.asarray([np.asarray(v) for v in vs], dtype=np.float64)
+                if np.isnan(vals).all():
+                    continue  # e.g. D-step skipped all epoch
+                epoch_metrics[k] = float(np.nanmean(vals))
             self.writer.log(epoch_metrics, epoch + 1)
             if (epoch + 1) % cfg.save_every == 0:
                 self.save()

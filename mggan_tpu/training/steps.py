@@ -388,9 +388,14 @@ def build_train_step(config: Config, g_spec, d_spec, jit: bool = True):
                 return st2, m
 
             def skip_d_branch(st):
+                # NaN sentinels: the loop aggregates with nanmean so skipped
+                # D-steps don't dilute epoch means (the reference simply
+                # doesn't append on skipped iterations).
                 _, m_shape = jax.eval_shape(d_step, st, bv, kd)
-                zeros = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), m_shape)
-                return st, zeros
+                nans = jax.tree.map(
+                    lambda s: jnp.full(s.shape, jnp.nan, s.dtype), m_shape
+                )
+                return st, nans
 
             state, d_metrics = jax.lax.cond(do_d, do_d_branch, skip_d_branch, state)
             metrics.update(d_metrics)

@@ -71,6 +71,26 @@ def noise_loss(params, key, alpha: float):
     return total
 
 
+def pandas_to_latex(df_table, index=True, multicolumn=False, **kwargs) -> str:
+    """DataFrame -> LaTeX with cmidrule separators under multi-column
+    headers (utils.py:251-273)."""
+    latex = df_table.to_latex(multicolumn=multicolumn, index=index, **kwargs)
+    if multicolumn:
+        lines = latex.splitlines()
+        insert_at = 3
+        for j, _ in enumerate(df_table.columns.levels[:-1]):
+            codes = np.array(df_table.columns.codes[j])
+            breaks = np.nonzero(codes[:-1] != codes[1:])[0].tolist()
+            rule = ""
+            for start, end in zip([-1] + breaks, breaks + [len(codes) - 1]):
+                if end - start > 1:
+                    rule += f"\\cmidrule(l){{{start + 2}-{end + 1}}} "
+            lines.insert(insert_at, rule)
+            insert_at += j + 2
+        latex = "\n".join(lines)
+    return latex
+
+
 def get_similar_trajectories(
     ds,
     distance_threshold: float,
