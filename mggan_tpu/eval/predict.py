@@ -28,7 +28,7 @@ import numpy as np
 from mggan_tpu.config import Config
 from mggan_tpu.models import generator as G_mod
 from mggan_tpu.ops import sampling
-from mggan_tpu.training.steps import BatchViews, batch_views
+from mggan_tpu.training.steps import batch_views
 
 STRATEGIES = (
     "uniform_expected",
@@ -63,11 +63,15 @@ def gather_by_occurrence(decoded, gen_idxs):
 class Predictor:
     """Jitted inference front-end over a trained generator."""
 
-    def __init__(self, config: Config, g_spec, g_params, g_state):
+    def __init__(self, config: Config, g_spec, g_params, g_state,
+                 compute_dtype=None):
         self.config = config
         self.g_spec = g_spec
         self.g_params = g_params
         self.g_state = g_state
+        self.compute_dtype = compute_dtype
+
+        compute_dtype = self.compute_dtype
 
         @functools.partial(jax.jit, static_argnames=("num",))
         def _decode_all(g_params, g_state, batch, rng, num):
@@ -81,7 +85,7 @@ class Predictor:
             noise = sampling.global_noise(rng, num, s, p, config.noise_dim)
             out = G_mod.decode_all(
                 g_params, g_spec, bv.in_xy[:, :, -1], bv.in_dxdy[:, :, -1],
-                enc_h, social_feats, noise,
+                enc_h, social_feats, noise, compute_dtype,
             )
             return out.abs, out.rel, logits, noise
 
@@ -96,7 +100,7 @@ class Predictor:
             )
             out = G_mod.decode_all(
                 g_params, g_spec, bv.in_xy[:, :, -1], bv.in_dxdy[:, :, -1],
-                enc_h, social_feats, noise,
+                enc_h, social_feats, noise, compute_dtype,
             )
             return out.abs
 

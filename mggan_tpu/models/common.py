@@ -20,8 +20,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from mggan_tpu.ops.linear import linear_init, linear_apply, mlp_init, mlp_apply
-from mggan_tpu.ops.lstm import lstm_init, lstm_scan, lstm_cell
+from mggan_tpu.ops.linear import linear_init, linear_apply, mlp_init
+from mggan_tpu.ops.lstm import lstm_init, lstm_scan
 
 
 class GeneratorOutput(NamedTuple):
@@ -95,7 +95,8 @@ def relative_decoder_init(
 
 
 def relative_decoder_apply(
-    params, last_xy, last_dxdy, social_feats, h0, pred_len: int, inp_format: str
+    params, last_xy, last_dxdy, social_feats, h0, pred_len: int,
+    inp_format: str, compute_dtype=None,
 ):
     """12-step autoregressive rollout as one ``lax.scan``.
 
@@ -114,6 +115,9 @@ def relative_decoder_apply(
     ONE fused MXU matmul per step instead of three. Likewise the social
     features are constant across steps, so their hidden2pos contribution
     ``social @ W1_soc`` is hoisted out of the scan.
+
+    ``compute_dtype=jnp.bfloat16`` runs the recurrent matmuls in bf16
+    (serving fast path); the position integration stays fp32.
     """
     c0 = jnp.zeros_like(h0)
     emb, lstm, h2p = params["spatial_embedding"], params["lstm"], params["hidden2pos"]
@@ -125,6 +129,16 @@ def relative_decoder_apply(
     w1_h, w1_soc = w1[:h_dim], w1[h_dim:]
     soc_contrib = social_feats @ w1_soc + h2p["lin0"]["b"]  # hoisted
 
+    cd = compute_dtype
+    if cd is not None:
+        w_comb, w1_h, soc_contrib = (
+            w_comb.astype(cd), w1_h.astype(cd), soc_contrib.astype(cd)
+        )
+        h0, c0 = h0.astype(cd), c0.astype(cd)
+        w2c = {"w": h2p["lin1"]["w"].astype(cd), "b": h2p["lin1"]["b"].astype(cd)}
+    else:
+        w2c = h2p["lin1"]
+
     def step(carry, _):
         h, c, xy, dxdy = carry
         if inp_format == "rel":
@@ -133,12 +147,18 @@ def relative_decoder_apply(
             to_embed = xy
         else:
             to_embed = jnp.concatenate([xy, dxdy], axis=-1)
-        gates = jnp.concatenate([to_embed, h], axis=-1) @ w_comb + b_comb
+        if cd is not None:
+            to_embed = to_embed.astype(cd)
+        gates = (
+            jnp.concatenate([to_embed, h], axis=-1) @ w_comb
+        ).astype(jnp.float32) + b_comb
         i, f, g, o = jnp.split(gates, 4, axis=-1)
-        c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
-        h = jax.nn.sigmoid(o) * jnp.tanh(c)
+        c = (jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)).astype(
+            h.dtype
+        )
+        h = (jax.nn.sigmoid(o) * jnp.tanh(c.astype(jnp.float32))).astype(h.dtype)
         hid = jax.nn.leaky_relu(h @ w1_h + soc_contrib, 0.01)
-        new_dxdy = linear_apply(h2p["lin1"], hid)
+        new_dxdy = linear_apply(w2c, hid).astype(jnp.float32)
         new_xy = xy + new_dxdy
         return (h, c, new_xy, new_dxdy), (new_xy, new_dxdy)
 
@@ -159,7 +179,8 @@ def stacked_decoders_init(key, num_gens, embedding_dim, h_dim, inp_format, socia
 
 
 def stacked_decoders_apply(
-    stacked, last_xy, last_dxdy, social_feats, h0, pred_len: int, inp_format: str
+    stacked, last_xy, last_dxdy, social_feats, h0, pred_len: int,
+    inp_format: str, compute_dtype=None,
 ):
     """vmap the rollout over the generator axis with shared inputs.
 
@@ -167,6 +188,7 @@ def stacked_decoders_apply(
     """
     return jax.vmap(
         lambda p: relative_decoder_apply(
-            p, last_xy, last_dxdy, social_feats, h0, pred_len, inp_format
+            p, last_xy, last_dxdy, social_feats, h0, pred_len, inp_format,
+            compute_dtype,
         )
     )(stacked)

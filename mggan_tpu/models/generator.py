@@ -162,13 +162,15 @@ def pm_logits(params, spec: GeneratorSpec, enc_h):
     return jnp.broadcast_to(prior, enc_h.shape[:-1] + (spec.num_gens,))
 
 
-def decode_all(params, spec: GeneratorSpec, last_xy, last_dxdy, enc_h, social_feats, noise):
+def decode_all(params, spec: GeneratorSpec, last_xy, last_dxdy, enc_h,
+               social_feats, noise, compute_dtype=None):
     """Run every generator on every noise sample (standard.py:227-265).
 
     Args:
         last_xy/last_dxdy: (S, P, 2).
         enc_h: (S, P, E_total); social_feats: (S, P, F).
         noise: (K, S, P, z).
+        compute_dtype: optional bf16 fast path for the recurrent matmuls.
 
     Returns:
         GeneratorOutput with abs/rel of shape (K, G, S, P, pred_len, 2).
@@ -196,7 +198,7 @@ def decode_all(params, spec: GeneratorSpec, last_xy, last_dxdy, enc_h, social_fe
             h0 = mlp_apply(params["enc_to_dec"], inp)
             return common.relative_decoder_apply(
                 params["decoder"], xy_b, dxdy_b, social_b, h0,
-                spec.pred_len, spec.inp_format,
+                spec.pred_len, spec.inp_format, compute_dtype,
             )
 
         abs_g, rel_g = jax.vmap(decode_gen)(eye)  # (G, N, T, 2)
@@ -205,7 +207,7 @@ def decode_all(params, spec: GeneratorSpec, last_xy, last_dxdy, enc_h, social_fe
         h0 = flat(mlp_apply(params["enc_to_dec"], inp))
         abs_g, rel_g = common.stacked_decoders_apply(
             params["decoders"], xy_b, dxdy_b, social_b, h0,
-            spec.pred_len, spec.inp_format,
+            spec.pred_len, spec.inp_format, compute_dtype,
         )
 
     reshape = lambda x: jnp.moveaxis(

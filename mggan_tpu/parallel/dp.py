@@ -10,7 +10,6 @@ contracting over the generator axis via an all-reduce.
 from __future__ import annotations
 
 import jax
-from jax.sharding import NamedSharding, PartitionSpec as P
 
 from mggan_tpu.parallel.mesh import batch_shardings, replicated, state_shardings
 from mggan_tpu.training.steps import build_train_step

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mggan_tpu.config import Config, config_from_args, get_parser
+from mggan_tpu.config import Config
 from mggan_tpu.data import augment as aug
 from mggan_tpu.data.loaders import get_dataloader
 from mggan_tpu.eval.metrics import MetricAccumulator, batch_metric_sums

@@ -18,13 +18,12 @@ over gan_type/gan_obj/weighting_target — those are static), with
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
-from mggan_tpu.config import Config, OBS_LEN, PRED_LEN
+from mggan_tpu.config import Config, OBS_LEN
 from mggan_tpu.models import generator as G_mod
 from mggan_tpu.models import discriminator as D_mod
 from mggan_tpu.ops import losses as L
