@@ -239,50 +239,65 @@ class Predictor:
 
 
 # ---------------------------------------------------------------- host-side
+def _round_robin_emit(counts: np.ndarray, order: np.ndarray, num: int):
+    """Vectorised round-robin emission: repeatedly walk ``order`` emitting
+    gens with remaining count, until ``num`` slots are filled per row.
+
+    counts: (B, G) slots per gen; order: (B, G) emission priority.
+    """
+    b, g = counts.shape
+    c_sorted = np.take_along_axis(counts, order, axis=1)  # (B, G)
+    # each round emits >=1 slot (or none ever again), so `num` rounds suffice
+    rounds = int(min(counts.sum(1).max(), num)) if b else 0
+    rounds = max(rounds, 1)
+    r = np.arange(rounds)[None, :, None]  # (1, R, 1)
+    valid = c_sorted[:, None, :] > r  # (B, R, G): emit order[k] in round r
+    flat_valid = valid.reshape(b, -1)  # r-major, priority-minor
+    flat_gen = np.broadcast_to(order[:, None, :], valid.shape).reshape(b, -1)
+    # stable-select the first `num` valid entries per row
+    pos = np.cumsum(flat_valid, axis=1)
+    take = flat_valid & (pos <= num)
+    out = np.zeros((b, num), np.int32)
+    rows, cols = np.nonzero(take)
+    out[rows, pos[rows, cols] - 1] = flat_gen[rows, cols]
+    return out
+
+
 def expected_selection(probs: np.ndarray, num: int) -> np.ndarray:
     """Reference ``predict_expected`` allocation (train.py:309-337).
 
     probs: (B, G) -> int32 (B, num) emission order.
     round(p*num) slots per gen, the rounding residue distributed over gens in
     descending-allocation order, then emitted round-robin in that order.
+    Fully vectorised (no per-agent Python loops).
     """
     b, g = probs.shape
     expected = np.round(probs * num).astype(np.int64)
-    sort_idxs = np.argsort(-expected, axis=-1)
-    missing = num - expected.sum(1)
-    for row in range(b):
-        m = missing[row]
-        if m != 0:
-            seq = np.tile(sort_idxs[row], abs(m))[: abs(m)]
-            uniq, counts = np.unique(seq, return_counts=True)
-            expected[row, uniq] += np.sign(m) * counts
-    out = np.zeros((b, num), np.int32)
-    for row in range(b):
-        remaining = expected[row].copy()
-        emitted = []
-        while len(emitted) < num:
-            for idx in sort_idxs[row]:
-                if remaining[idx] > 0:
-                    emitted.append(idx)
-                    remaining[idx] -= 1
-                    if len(emitted) == num:
-                        break
-        out[row] = emitted[:num]
-    return out
+    sort_idxs = np.argsort(-expected, axis=-1, kind="stable")
+    missing = (num - expected.sum(1)).astype(np.int64)  # (B,)
+    # residue of |m| slots distributed over the first |m| entries of the
+    # tiled priority order == floor/ceil split over ranks (train.py:313-324)
+    m_abs = np.abs(missing)
+    base, rem = m_abs // g, m_abs % g
+    per_rank = base[:, None] + (np.arange(g)[None, :] < rem[:, None])
+    filler = np.zeros_like(expected)
+    np.put_along_axis(filler, sort_idxs, per_rank, axis=1)
+    expected = expected + np.sign(missing)[:, None] * filler
+    assert (expected.sum(1) == num).all()
+    return _round_robin_emit(expected, sort_idxs, num)
 
 
 def uniform_selection(probs: np.ndarray, num: int, eps: float) -> np.ndarray:
     """Reference ``predict_uniform`` selection (train.py:382-405).
 
     Gens with prob > eps (all if none), sorted by descending prob, emitted
-    round-robin.
+    round-robin. Vectorised.
     """
     b, g = probs.shape
-    out = np.zeros((b, num), np.int32)
-    for row in range(b):
-        sel = np.where(probs[row] > eps)[0]
-        if len(sel) == 0:
-            sel = np.arange(g)
-        order = sel[np.argsort(-probs[row, sel], kind="stable")]
-        out[row] = np.tile(order, num)[:num]
-    return out
+    over = probs > eps
+    none = ~over.any(1)
+    over[none] = True
+    counts = np.where(over, num, 0).astype(np.int64)  # enough for round robin
+    masked = np.where(over, probs, -np.inf)
+    order = np.argsort(-masked, axis=1, kind="stable")
+    return _round_robin_emit(counts, order, num)

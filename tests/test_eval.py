@@ -163,3 +163,61 @@ def test_oracle_and_same_obs(tmp_path):
     oracle = man.get_oracle_preds(ds, 4)
     n_agents = sum(len(t) for t in ds.trajectories)
     assert oracle.shape == (12, 4, n_agents, 2)
+
+
+def _expected_ref(probs, num):
+    """Loop oracle mirroring the reference algorithm (train.py:309-337)."""
+    b, g = probs.shape
+    expected = np.round(probs * num).astype(np.int64)
+    sort_idxs = np.argsort(-expected, axis=-1, kind="stable")
+    missing = num - expected.sum(1)
+    for row in range(b):
+        m = missing[row]
+        if m != 0:
+            seq = np.tile(sort_idxs[row], abs(m))[: abs(m)]
+            uniq, counts = np.unique(seq, return_counts=True)
+            expected[row, uniq] += np.sign(m) * counts
+    out = np.zeros((b, num), np.int32)
+    for row in range(b):
+        remaining = expected[row].copy()
+        emitted = []
+        while len(emitted) < num:
+            progress = False
+            for idx in sort_idxs[row]:
+                if remaining[idx] > 0:
+                    emitted.append(idx)
+                    remaining[idx] -= 1
+                    progress = True
+                    if len(emitted) == num:
+                        break
+            if not progress:
+                break
+        out[row] = (emitted + [0] * num)[:num]
+    return out
+
+
+def test_expected_selection_fuzz():
+    rng = np.random.RandomState(0)
+    for _ in range(60):
+        g = rng.randint(2, 9)
+        num = rng.randint(1, 25)
+        probs = rng.dirichlet(np.ones(g) * rng.uniform(0.2, 3), size=rng.randint(1, 7))
+        np.testing.assert_array_equal(
+            expected_selection(probs, num), _expected_ref(probs, num)
+        )
+
+
+def test_uniform_selection_fuzz():
+    rng = np.random.RandomState(1)
+    for _ in range(60):
+        g = rng.randint(2, 9)
+        num = rng.randint(1, 25)
+        eps = float(rng.choice([0.0, 1.0 / g, 1.0 / g**2, 0.9]))
+        probs = rng.dirichlet(np.ones(g), size=rng.randint(1, 7))
+        got = uniform_selection(probs, num, eps)
+        for row in range(len(probs)):
+            sel = np.where(probs[row] > eps)[0]
+            if len(sel) == 0:
+                sel = np.arange(g)
+            order = sel[np.argsort(-probs[row, sel], kind="stable")]
+            np.testing.assert_array_equal(got[row], np.tile(order, num)[:num])
