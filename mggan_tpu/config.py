@@ -104,6 +104,8 @@ class Config:
     seed: int = 145325
     # Where dataset files live (reference hardcodes ./data/datasets/<name>).
     data_root: str = "./data/datasets"
+    # Compile D/G/PM as 3 parallel-compiled programs (faster TPU startup).
+    split_step: int = 0
 
     def __post_init__(self):
         assert self.inp_format in INP_FORMATS
@@ -199,6 +201,7 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--gp", type=int, default=d.gp)
     p.add_argument("--seed", type=int, default=d.seed)
     p.add_argument("--data_root", type=str, default=d.data_root)
+    p.add_argument("--split_step", type=int, default=d.split_step)
     return p
 
 

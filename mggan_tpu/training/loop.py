@@ -29,7 +29,11 @@ from mggan_tpu.training.state import (
     init_train_state,
     set_lr,
 )
-from mggan_tpu.training.steps import batch_views, build_train_step
+from mggan_tpu.training.steps import (
+    batch_views,
+    build_split_train_step,
+    build_train_step,
+)
 from mggan_tpu.utils.logging import ExperimentWriter, load_meta_tags
 
 
@@ -45,7 +49,13 @@ class Trainer:
         self.g_pack, self.d_pack = factory.construct_model(config, k_model)
         self.g_spec, self.d_spec = self.g_pack[2], self.d_pack[2]
         self.state = init_train_state(config, self.g_pack, self.d_pack, k_state)
-        self.train_step = build_train_step(config, self.g_spec, self.d_spec)
+        if getattr(config, "split_step", 0):
+            self.train_step = build_split_train_step(
+                config, self.g_spec, self.d_spec
+            )
+        else:
+            self.train_step = build_train_step(config, self.g_spec, self.d_spec)
+        self._precompiled = False
         self._predictor = None
         self._aug_rng = np.random.RandomState(config.seed + 1)
 
@@ -109,6 +119,10 @@ class Trainer:
 
             for batch in Prefetcher(train_loader):
                 model_batch = self._device_batch(batch, train=bool(cfg.augment))
+                if not self._precompiled:
+                    if hasattr(self.train_step, "precompile"):
+                        self.train_step.precompile(self.state, model_batch)
+                    self._precompiled = True
                 self.state, step_metrics = self.train_step(self.state, model_batch)
                 for k, v in step_metrics.items():
                     metrics[k].append(v)

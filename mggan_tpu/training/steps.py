@@ -418,6 +418,95 @@ def build_train_step(config: Config, g_spec, d_spec, jit: bool = True):
         state = state.replace(step=state.step + 1)
         return state, metrics
 
+    if jit == "phases":
+        return d_step, g_step, pm_step
     if jit:
         return jax.jit(train_step, donate_argnums=(0,))
     return train_step
+
+
+def build_split_train_step(config: Config, g_spec, d_spec):
+    """Three separately-jitted sub-steps (D, G, PM) instead of one fused
+    program. Semantically equivalent for the common case (no unrolled GAN,
+    num_gen_steps<=1) up to the RNG stream layout; the payoff is compile
+    time: ``precompile()`` lowers and compiles the three programs in
+    parallel threads, which overlap ~linearly through the TPU
+    remote-compile service (important on this environment where the fused
+    step can take minutes to compile).
+    """
+    assert config.num_unrolling_steps == 0 and config.num_gen_steps <= 1, (
+        "split step supports the common ungated configuration; use the "
+        "fused build_train_step otherwise"
+    )
+    d_step, g_step, pm_step = build_train_step(config, g_spec, d_spec, jit="phases")
+    use_pm = config.weighting_target != "none"
+
+    def d_phase(state: TrainState, batch):
+        bv = batch_views(batch)
+        kd = jax.random.fold_in(jax.random.fold_in(state.rng, state.step), 0)
+        return d_step(state, bv, kd)
+
+    def g_phase(state: TrainState, batch):
+        bv = batch_views(batch)
+        kg = jax.random.fold_in(jax.random.fold_in(state.rng, state.step), 1)
+        return g_step(state, bv, kg)
+
+    def pm_phase(state: TrainState, batch):
+        bv = batch_views(batch)
+        kpm = jax.random.fold_in(jax.random.fold_in(state.rng, state.step), 2)
+        state, metrics = pm_step(state, bv, kpm)
+        if config.gan_type == "probgan":
+            state = jax.lax.cond(
+                state.step % 10 == 0,
+                lambda st: st.replace(
+                    d_state=D_mod.update_hist(st.d_params, st.d_state)
+                ),
+                lambda st: st,
+                state,
+            )
+        state = state.replace(
+            step=state.step + 1, rng=jax.random.split(state.rng)[0]
+        )
+        return state, metrics
+
+    jits = [jax.jit(d_phase, donate_argnums=(0,)), jax.jit(g_phase, donate_argnums=(0,))]
+    if use_pm:
+        jits.append(jax.jit(pm_phase, donate_argnums=(0,)))
+    else:
+        def finalize(state: TrainState, batch):
+            return state.replace(
+                step=state.step + 1, rng=jax.random.split(state.rng)[0]
+            ), {}
+
+        jits.append(jax.jit(finalize, donate_argnums=(0,)))
+
+    compiled = {}
+
+    def step(state: TrainState, batch):
+        metrics = {}
+        for i, fn in enumerate(jits):
+            state, m = compiled.get(i, fn)(state, batch)
+            metrics.update(m)
+        return state, metrics
+
+    def precompile(state: TrainState, batch):
+        """AOT-compile all phases in parallel threads; subsequent ``step``
+        calls use the compiled executables directly."""
+        import threading
+
+        lowered = [fn.lower(state, batch) for fn in jits]
+
+        def compile_one(i):
+            compiled[i] = lowered[i].compile()
+
+        threads = [
+            threading.Thread(target=compile_one, args=(i,))
+            for i in range(len(lowered))
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+    step.precompile = precompile
+    return step
