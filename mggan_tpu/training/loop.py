@@ -187,6 +187,12 @@ class Trainer:
         ckpt.save_checkpoint(self.writer.checkpoint_dir, self.state, name)
 
     @classmethod
+    def load(cls, log_path, exp_name, version, checkpoint="best"):
+        """Reference-signature loader (abstract_train.py:250-285)."""
+        version_dir = Path(log_path) / exp_name / f"version_{version}"
+        return cls.load_from_path(version_dir, checkpoint)
+
+    @classmethod
     def load_from_path(cls, version_path, checkpoint="best"):
         """Rebuild a trainer from a version dir (abstract_train.py:250-296)."""
         version_path = Path(version_path)
