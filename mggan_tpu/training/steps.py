@@ -29,6 +29,7 @@ from mggan_tpu.models import discriminator as D_mod
 from mggan_tpu.ops import losses as L
 from mggan_tpu.ops import sampling
 from mggan_tpu.training.state import TrainState, optimizers
+from mggan_tpu.utils.pytree import tree_global_norm
 
 
 class BatchViews(NamedTuple):
@@ -196,6 +197,7 @@ def build_train_step(config: Config, g_spec, d_spec, jit: bool = True):
         grads, (metrics, d_state1) = jax.grad(d_loss_fn, has_aux=True)(
             state.d_params, state, bv, rng
         )
+        metrics["train/grad_norm_D"] = tree_global_norm(grads)
         updates, d_opt = tx_d.update(grads, state.d_opt, state.d_params)
         d_params = jax.tree.map(lambda p, u: p + u, state.d_params, updates)
         return (
@@ -253,6 +255,7 @@ def build_train_step(config: Config, g_spec, d_spec, jit: bool = True):
         grads, (metrics, g_state1) = jax.grad(g_loss_fn, has_aux=True)(
             state.g_params, state, bv, rng
         )
+        metrics["train/grad_norm_G"] = tree_global_norm(grads)
         updates, g_opt = tx_g.update(grads, state.g_opt, state.g_params)
         g_params = jax.tree.map(lambda p, u: p + u, state.g_params, updates)
         return (
