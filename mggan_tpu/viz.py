@@ -9,6 +9,12 @@ from __future__ import annotations
 
 import numpy as np
 
+def re_im(img):
+    """Undo the [-1, 1) patch normalisation for display
+    (BaseTrajectories.py:18-20)."""
+    return (np.asarray(img) + 1.0) / 2.0
+
+
 _GEN_COLORS = [
     "tab:blue", "tab:orange", "tab:green", "tab:red", "tab:purple",
     "tab:brown", "tab:pink", "tab:gray", "tab:olive", "tab:cyan",
