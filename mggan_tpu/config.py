@@ -95,8 +95,8 @@ class Config:
     num_gen_parameters: int = field(default=0)
 
     # ---- TPU-build extras (not in the reference surface) ----
-    # Cap on peds per padded scene; scenes with more agents are split.
-    max_peds: int = 32
+    # Pad width of the ped axis; 0 = derive from the dataset's widest scene.
+    max_peds: int = 0
     # Data-parallel shard count (scene axis over the ICI mesh). 1 = single chip.
     dp: int = 1
     # Generator-parallel shard count over the stacked-decoder axis.

@@ -97,14 +97,15 @@ class Trainer:
 
     def train(self):
         cfg = self.config
+        mp = cfg.max_peds or None
         train_loader = get_dataloader(
             cfg.dataset, "train", augment=bool(cfg.augment),
-            batch_size=cfg.batch_size, shuffle=True, max_peds=None,
+            batch_size=cfg.batch_size, shuffle=True, max_peds=mp,
             data_root=cfg.data_root, seed=cfg.seed,
         )
         val_loader = get_dataloader(
             cfg.dataset, "val", augment=False, batch_size=cfg.batch_size,
-            shuffle=False, max_peds=None, data_root=cfg.data_root,
+            shuffle=False, max_peds=mp, data_root=cfg.data_root,
         )
         track_metric = f"val/ADE k={cfg.top_k_test}"
         best = math.inf

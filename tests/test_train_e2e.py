@@ -101,3 +101,30 @@ def test_params_update_and_validation(tmp_path):
     assert np.isfinite(m["ADE k=3"]) and m["ADE k=3"] > 0
     assert np.isfinite(m["FDE k=3"])
     assert 0 <= m["Mode k=3"] <= 1
+
+
+def test_nan_futures_gofp_style(tmp_path):
+    """GOFP-style NaN futures: training and eval must mask inactive agents
+    (trajectories_scene.py:171-175, abstract_train.py:130)."""
+    from mggan_tpu.data.synthetic import make_synthetic_dataset
+    from mggan_tpu.data.batcher import PaddedBatcher
+
+    ds = make_synthetic_dataset(num_windows=8, max_peds=4, seed=9,
+                                nan_future_frac=0.5)
+    loader = PaddedBatcher(ds, batch_size=4)
+    cfg = tiny_config(tmp_path, gan_type="mgan", weighting_target="ml")
+    writer = ExperimentWriter(tmp_path, cfg.experiment, cfg.name, version=9,
+                              config=cfg, tensorboard=False)
+    tr = Trainer(cfg, writer)
+
+    n_nan = sum(np.isnan(t[:, 8:]).any() for t in ds.trajectories)
+    assert n_nan > 0  # the fixture actually exercises the mask
+
+    for batch in loader:
+        mb = tr._device_batch(batch, train=True)
+        tr.state, metrics = tr.train_step(tr.state, mb)
+        for k, v in metrics.items():
+            assert np.isfinite(float(v)), (k, float(v))
+
+    m = tr.check_accuracy(loader, num_k=3)
+    assert np.isfinite(m["ADE k=3"])
