@@ -106,6 +106,8 @@ class Config:
     data_root: str = "./data/datasets"
     # Compile D/G/PM as 3 parallel-compiled programs (faster TPU startup).
     split_step: int = 0
+    # Capture a jax.profiler trace of the first few train steps into this dir.
+    profile_dir: str = ""
 
     def __post_init__(self):
         assert self.inp_format in INP_FORMATS
@@ -202,6 +204,7 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=d.seed)
     p.add_argument("--data_root", type=str, default=d.data_root)
     p.add_argument("--split_step", type=int, default=d.split_step)
+    p.add_argument("--profile_dir", type=str, default=d.profile_dir)
     return p
 
 

@@ -124,7 +124,16 @@ class Trainer:
                     if hasattr(self.train_step, "precompile"):
                         self.train_step.precompile(self.state, model_batch)
                     self._precompiled = True
+                profiling = (
+                    cfg.profile_dir and epoch == start_epoch
+                    and len(metrics.get("train/gen_loss", [])) == 1
+                )
+                if profiling:
+                    jax.profiler.start_trace(cfg.profile_dir)
                 self.state, step_metrics = self.train_step(self.state, model_batch)
+                if profiling:
+                    jax.block_until_ready(step_metrics)
+                    jax.profiler.stop_trace()
                 for k, v in step_metrics.items():
                     metrics[k].append(v)
 
