@@ -26,10 +26,17 @@ def setup(num_gens=2, gp=1):
     state = init_train_state(cfg, g_pack, d_pack, jax.random.PRNGKey(1))
     loader = get_dataloader(cfg.dataset, "train", batch_size=8, shuffle=False)
     batch = next(iter(loader))
+    # patches must be non-degenerate: all-identical patches give BatchNorm
+    # zero batch variance, where gradients are numerically knife-edged and
+    # legitimately differ across reduction orders/shardings
+    patches = jax.random.uniform(
+        jax.random.PRNGKey(5), batch["xy"].shape[:2] + (33, 33, 4),
+        minval=-1.0, maxval=1.0,
+    )
     model_batch = {
         "xy": jnp.asarray(batch["xy"]),
         "ped_mask": jnp.asarray(batch["ped_mask"]),
-        "patches": jnp.zeros(batch["xy"].shape[:2] + (33, 33, 4), jnp.float32),
+        "patches": patches,
     }
     return cfg, g_pack, d_pack, state, model_batch
 

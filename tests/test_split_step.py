@@ -23,7 +23,7 @@ def test_split_step_trains_and_precompiles():
     mb = {
         "xy": jnp.asarray(batch["xy"]),
         "ped_mask": jnp.asarray(batch["ped_mask"]),
-        "patches": jnp.zeros(batch["xy"].shape[:2] + (33, 33, 4), jnp.float32),
+        "patches": jax.random.uniform(jax.random.PRNGKey(5), batch["xy"].shape[:2] + (33, 33, 4), minval=-1.0, maxval=1.0),
     }
 
     state = init_train_state(cfg, g_pack, d_pack, jax.random.PRNGKey(1))
