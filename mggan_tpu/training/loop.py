@@ -117,7 +117,10 @@ class Trainer:
             )
             metrics = defaultdict(list)
             from mggan_tpu.data.prefetch import Prefetcher
+            import time as _time
 
+            epoch_t0 = _time.perf_counter()
+            n_steps = 0
             for batch in Prefetcher(train_loader):
                 model_batch = self._device_batch(batch, train=bool(cfg.augment))
                 if not self._precompiled:
@@ -136,6 +139,13 @@ class Trainer:
                     jax.profiler.stop_trace()
                 for k, v in step_metrics.items():
                     metrics[k].append(v)
+                n_steps += 1
+            jax.block_until_ready(self.state.step)
+            epoch_dt = _time.perf_counter() - epoch_t0
+            metrics["perf/steps_per_sec"].append(n_steps / max(epoch_dt, 1e-9))
+            metrics["perf/agents_per_sec"].append(
+                n_steps * cfg.batch_size * train_loader.max_peds / max(epoch_dt, 1e-9)
+            )
 
             if (epoch + 1) % cfg.val_every == 0:
                 val_metrics = self.check_accuracy(val_loader, num_k=cfg.top_k_test)
