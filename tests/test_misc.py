@@ -1,0 +1,120 @@
+"""Smoke tests: visualization, version discovery, reference-signature load,
+golden-fixture regression pin."""
+
+import json
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import matplotlib
+
+matplotlib.use("Agg")
+import numpy as np
+import pytest
+
+from mggan_tpu import viz
+from mggan_tpu.utils.logging import ExperimentWriter, get_versions
+
+
+def test_viz_smoke(tmp_path):
+    rng = np.random.RandomState(0)
+    obs = rng.randn(8, 2).cumsum(0)
+    gt = obs[-1] + rng.randn(12, 2).cumsum(0) * 0.3
+    preds = obs[-1] + rng.randn(5, 12, 2).cumsum(1) * 0.3
+    ax = viz.plot_trajectories(obs, gt, preds, gen_idxs=[0, 1, 0, 2, 1])
+    assert ax is not None
+    img = rng.rand(4, 4, 3) * 2 - 1
+    out = viz.re_im(img)
+    assert out.min() >= 0 and out.max() <= 1
+
+    batch = {
+        "xy": rng.randn(2, 3, 20, 2).astype(np.float32),
+        "ped_mask": np.ones((2, 3), bool),
+    }
+    viz.plot_scene(batch, 0)
+
+    from mggan_tpu.eval.manifold import Manifold
+
+    man = Manifold(rng.randn(3, 12, 2), 3.0)
+    viz.plot_manifold_with_preds(man, rng.randn(4, 12, 2), obs=obs)
+
+
+def test_get_versions(tmp_path):
+    from mggan_tpu.config import Config
+
+    cfg = Config(dataset="synthetic_memory")
+    w1 = ExperimentWriter(tmp_path, "multi_generator", "m", version=3, config=cfg,
+                          tensorboard=False)
+    (w1.checkpoint_dir / "checkpoint_best").mkdir()
+    w2 = ExperimentWriter(tmp_path, "multi_generator", "m", version=7, config=cfg,
+                          tensorboard=False)
+    (w2.checkpoint_dir / "checkpoint_4").mkdir()
+    (w2.checkpoint_dir / "checkpoint_9").mkdir()
+    versions = sorted(get_versions(Path(tmp_path) / "multi_generator" / "m"))
+    assert versions == [(3, "best"), (7, 9)]
+
+
+def test_trainer_load_signature(tmp_path):
+    from mggan_tpu.config import Config
+    from mggan_tpu.training.loop import Trainer
+
+    cfg = Config(dataset="synthetic_memory", num_gens=2, h_dim=16,
+                 decoder_h_dim=16, num_samples=2, epochs=1,
+                 log_dir=str(tmp_path))
+    w = ExperimentWriter(tmp_path, cfg.experiment, cfg.name, version=5,
+                         config=cfg, tensorboard=False)
+    tr = Trainer(cfg, w)
+    tr.save("checkpoint_best")
+    tr2, cfg2 = Trainer.load(tmp_path / cfg.experiment, cfg.name, 5, "best")
+    assert cfg2.num_gens == 2
+    diffs = jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        tr.state.g_params, tr2.state.g_params,
+    )
+    assert max(jax.tree.leaves(diffs)) == 0.0
+
+
+GOLDEN = Path(__file__).parent / "golden" / "forward_v1.json"
+
+
+def _golden_forward():
+    """Deterministic tiny forward capturing encoder+social+PM+decode math."""
+    from mggan_tpu.models import generator as G_mod
+
+    spec = G_mod.GeneratorSpec(
+        z_size=4, encoder_h_dim=8, decoder_h_dim=8, social_feat_size=8,
+        num_gens=2, pred_len=12, embedding_dim=4, inp_format="rel",
+        pool_type="sways", scene_dim=0, use_pinet=True, learn_prior=False,
+    )
+    params, state = G_mod.init(jax.random.PRNGKey(42), spec)
+    rng = np.random.RandomState(7)
+    xy = jnp.asarray(rng.randn(2, 3, 8, 2).astype(np.float32))
+    dxdy = xy[:, :, 1:] - xy[:, :, :-1]
+    mask = jnp.ones((2, 3), bool)
+    enc_h, soc, _ = G_mod.encode(params, state, spec, xy, dxdy, mask, None, False)
+    logits = G_mod.pm_logits(params, spec, enc_h)
+    noise = jnp.asarray(rng.randn(1, 2, 3, 4).astype(np.float32))
+    out = G_mod.decode_all(params, spec, xy[:, :, -1], dxdy[:, :, -1], enc_h, soc, noise)
+    return {
+        "logits": np.asarray(logits).round(6).tolist(),
+        "abs_mean": float(np.asarray(out.abs).mean()),
+        "abs_last": np.asarray(out.abs[0, :, 0, 0, -1]).round(5).tolist(),
+    }
+
+
+def test_golden_forward_regression():
+    """Pin the forward math against a stored fixture so refactors that
+    change numerics are caught (SURVEY.md §4 item 4)."""
+    got = _golden_forward()
+    if not GOLDEN.exists():
+        GOLDEN.parent.mkdir(exist_ok=True)
+        GOLDEN.write_text(json.dumps(got, indent=1))
+        pytest.skip("golden fixture created")
+    want = json.loads(GOLDEN.read_text())
+    np.testing.assert_allclose(
+        np.asarray(got["logits"]), np.asarray(want["logits"]), atol=1e-4
+    )
+    np.testing.assert_allclose(got["abs_mean"], want["abs_mean"], atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(got["abs_last"]), np.asarray(want["abs_last"]), atol=1e-3
+    )
