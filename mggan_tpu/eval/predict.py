@@ -191,22 +191,23 @@ class Predictor:
         batch = self._maybe_shard(batch)
         total = num + ceil((1 - truncation_ratio) * num)
 
-        k0, *ks = jax.random.split(rng, n_estimate + 1)
+        k0, k1 = jax.random.split(rng)
         abs_all, rel_all, logits, noise = self._decode_all(
             self.g_params, self.g_state, batch, k0, total
         )
         probs = jax.nn.softmax(logits, axis=-1)
         base = abs_all[:, 0]  # (total,S,P,T,2)
 
-        jac = jnp.zeros(base.shape[1:3] + (total,))
-        for i in range(n_estimate):
-            eps_i = jax.random.normal(ks[i], noise.shape) * sigma**2
-            pert = self._decode_with_noise(
-                self.g_params, self.g_state, batch, noise + eps_i, total
-            )[:, 0]
-            sq = ((pert - base) ** 2).sum((-1, -2)) / sigma**2  # (total,S,P)
-            jac = jac + jnp.moveaxis(sq, 0, -1)
-        jac = jac / n_estimate
+        # All N perturbation rollouts in ONE decode batch (the reference
+        # loops N sequential forwards, train.py:515-533).
+        eps = jax.random.normal(k1, (n_estimate,) + noise.shape) * sigma**2
+        pert_noise = (noise[None] + eps).reshape((-1,) + noise.shape[1:])
+        pert = self._decode_with_noise(
+            self.g_params, self.g_state, batch, pert_noise, n_estimate * total
+        )[:, 0]
+        pert = pert.reshape((n_estimate, total) + pert.shape[1:])
+        sq = ((pert - base[None]) ** 2).sum((-1, -2)) / sigma**2  # (N,total,S,P)
+        jac = jnp.moveaxis(sq.mean(0), 0, -1)  # (S,P,total)
 
         order = jnp.argsort(jac, axis=-1)[..., :num]  # (S,P,num)
         pick = lambda x: jnp.moveaxis(
