@@ -49,7 +49,16 @@ class Trainer:
         self.g_pack, self.d_pack = factory.construct_model(config, k_model)
         self.g_spec, self.d_spec = self.g_pack[2], self.d_pack[2]
         self.state = init_train_state(config, self.g_pack, self.d_pack, k_state)
-        if getattr(config, "split_step", 0):
+        self._mesh = None
+        if config.dp * config.gp > 1:
+            assert not getattr(config, "split_step", 0), (
+                "--split_step and --dp/--gp are mutually exclusive for now"
+            )
+            from mggan_tpu.parallel.mesh import make_mesh
+
+            self._mesh = make_mesh(dp=config.dp, gp=config.gp)
+            self.train_step = None  # built on the first batch (needs shapes)
+        elif getattr(config, "split_step", 0):
             self.train_step = build_split_train_step(
                 config, self.g_spec, self.d_spec
             )
@@ -80,6 +89,8 @@ class Trainer:
             self._predictor = Predictor(
                 self.config, self.g_spec, self.state.g_params, self.state.g_state
             )
+            if self._mesh is not None:
+                self._predictor.shard_to(self._mesh)
         self._predictor.g_params = self.state.g_params
         self._predictor.g_state = self.state.g_state
         return self._predictor
@@ -123,6 +134,15 @@ class Trainer:
             n_steps = 0
             for batch in Prefetcher(train_loader):
                 model_batch = self._device_batch(batch, train=bool(cfg.augment))
+                if self._mesh is not None:
+                    from mggan_tpu.parallel import dp as dp_mod
+
+                    if self.train_step is None:
+                        self.train_step, self.state = dp_mod.make_parallel_train_step(
+                            cfg, self.g_spec, self.d_spec, self._mesh,
+                            self.state, model_batch,
+                        )
+                    model_batch = dp_mod.shard_batch(self._mesh, model_batch)
                 if not self._precompiled:
                     if hasattr(self.train_step, "precompile"):
                         self.train_step.precompile(self.state, model_batch)

@@ -73,3 +73,19 @@ def test_generator_parallel_executes():
     s2, m2 = pstep(pstate, dp.shard_batch(mesh, batch))
     for k, v in m2.items():
         assert np.isfinite(float(v)), k
+
+
+def test_trainer_dp_cli_path(tmp_path):
+    """Trainer with --dp builds the sharded step lazily and trains/validates."""
+    from mggan_tpu.training.loop import Trainer
+    from mggan_tpu.utils.logging import ExperimentWriter
+
+    cfg = Config(
+        dataset="synthetic_memory", batch_size=4, num_gens=2, epochs=1,
+        num_samples=4, h_dim=16, decoder_h_dim=16, top_k_test=3,
+        gan_type="mgan", weighting_target="ml", dp=4, log_dir=str(tmp_path),
+    )
+    writer = ExperimentWriter(tmp_path, cfg.experiment, cfg.name, version=21,
+                              config=cfg, tensorboard=False)
+    tr = Trainer(cfg, writer).train()
+    assert int(tr.state.step) > 0
