@@ -239,6 +239,46 @@ class Predictor:
         return self.predict
 
 
+# --------------------------------------------------------------- on-device
+def _round_robin_emit_jax(counts, order, num: int):
+    """jnp twin of ``_round_robin_emit`` (static shapes; rounds = num)."""
+    b, g = counts.shape
+    c_sorted = jnp.take_along_axis(counts, order, axis=1)
+    r = jnp.arange(num)[None, :, None]
+    valid = (c_sorted[:, None, :] > r).reshape(b, -1)  # (B, num*G)
+    flat_gen = jnp.broadcast_to(order[:, None, :], (b, num, g)).reshape(b, -1)
+    pos = jnp.cumsum(valid, axis=1)  # 1-based emission slot per valid entry
+    # out[b, j] = flat_gen at the unique position where pos == j+1 (valid)
+    slot = jnp.arange(1, num + 1)
+    hits = valid[:, None, :] & (pos[:, None, :] == slot[None, :, None])
+    return (hits * flat_gen[:, None, :]).sum(-1).astype(jnp.int32)
+
+
+def expected_selection_jax(probs, num: int):
+    """On-device twin of :func:`expected_selection` (train.py:309-337)."""
+    b, g = probs.shape
+    expected = jnp.round(probs * num).astype(jnp.int32)
+    order = jnp.argsort(-expected, axis=-1, stable=True)
+    missing = num - expected.sum(1)
+    m_abs = jnp.abs(missing)
+    base, rem = m_abs // g, m_abs % g
+    per_rank = base[:, None] + (jnp.arange(g)[None, :] < rem[:, None])
+    filler = jnp.zeros_like(expected).at[jnp.arange(b)[:, None], order].set(per_rank)
+    expected = expected + jnp.sign(missing)[:, None] * filler
+    return _round_robin_emit_jax(expected, order, num)
+
+
+def uniform_selection_jax(probs, num: int, eps: float):
+    """On-device twin of :func:`uniform_selection` (train.py:382-405)."""
+    b, g = probs.shape
+    over = probs > eps
+    over = jnp.where(~over.any(1, keepdims=True), True, over)
+    counts = jnp.where(over, num, 0).astype(jnp.int32)
+    masked = jnp.where(over, probs, -jnp.inf)
+    order = jnp.argsort(-masked, axis=1, stable=True)
+    return _round_robin_emit_jax(counts, order, num)
+
+
 # ---------------------------------------------------------------- host-side
 def _round_robin_emit(counts: np.ndarray, order: np.ndarray, num: int):
     """Vectorised round-robin emission: repeatedly walk ``order`` emitting

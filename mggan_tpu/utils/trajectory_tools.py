@@ -46,11 +46,15 @@ class GradNormLogger:
         self.grad_norms = defaultdict(list)
 
     def write(self, writer, global_step):
-        if getattr(writer, "_tb", None) is not None:
+        """Emit per-module gradient histograms to the experiment writer's
+        TensorBoard backend (utils.py:195-199)."""
+        tb = getattr(writer, "_tb", None)
+        if tb is not None:
             for module, vals in self.grad_norms.items():
-                writer._tb.add_histogram(
+                tb.add_histogram(
                     f"gradient_histograms/{module}", np.array(vals), global_step
                 )
+        self.reset()
 
 
 def sghmc_noise_like(params):

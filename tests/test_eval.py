@@ -221,3 +221,24 @@ def test_uniform_selection_fuzz():
                 sel = np.arange(g)
             order = sel[np.argsort(-probs[row, sel], kind="stable")]
             np.testing.assert_array_equal(got[row], np.tile(order, num)[:num])
+
+
+def test_on_device_selection_matches_numpy():
+    from mggan_tpu.eval.predict import (
+        expected_selection_jax,
+        uniform_selection_jax,
+    )
+
+    rng = np.random.RandomState(3)
+    for _ in range(8):
+        g, num = rng.randint(2, 7), rng.randint(2, 15)
+        probs = rng.dirichlet(np.ones(g), size=5).astype(np.float32)
+        np.testing.assert_array_equal(
+            expected_selection(probs, num),
+            np.asarray(expected_selection_jax(jnp.asarray(probs), num)),
+        )
+        eps = float(rng.choice([0.0, 1.0 / g]))
+        np.testing.assert_array_equal(
+            uniform_selection(probs, num, eps),
+            np.asarray(uniform_selection_jax(jnp.asarray(probs), num, eps)),
+        )
