@@ -1,10 +1,10 @@
 """The seven inference strategies (reference train.py:259-576).
 
-Decode-all runs on device; the deterministic slot-allocation bookkeeping of
-``expected``/``uniform_expected``/``smart_expected`` is O(B*num) integer
-work done in numpy (exactly reproducing the reference's selection orders for
-eval parity), after which samples are gathered on device by
-(occurrence, generator) index.
+Everything runs on device: decode-all, the deterministic slot-allocation of
+``expected``/``uniform_expected``/``smart_expected`` (vectorised jnp twins
+of the reference's per-agent loops — the numpy implementations at the bottom
+of this module are the fuzz-tested oracles), and the
+(occurrence, generator) sample gather.
 
 Strategy map (train.py:553-576):
     sampling          -> PM-categorical sampling
@@ -153,20 +153,27 @@ class Predictor:
         return out_abs, out_rel, probs, gen_idxs
 
     def predict_expected(self, batch, rng, num=20):
-        """Deterministic proportional allocation (train.py:291-351)."""
+        """Deterministic proportional allocation (train.py:291-351).
+
+        Selection runs on device (expected_selection_jax; fuzz-verified
+        against the numpy reference implementation below).
+        """
         abs_all, rel_all, _, probs, _ = self._run(batch, rng, num)
         s, p, g = probs.shape
-        sel = expected_selection(np.asarray(probs).reshape(-1, g), num)
-        gen_idxs = jnp.asarray(sel.reshape(s, p, num))
+        gen_idxs = expected_selection_jax(
+            probs.reshape(-1, g), num
+        ).reshape(s, p, num)
         out_abs, out_rel = self._gather(abs_all, rel_all, gen_idxs)
         return out_abs, out_rel, probs, gen_idxs
 
     def predict_uniform(self, batch, rng, num=20, eps=0.0):
-        """Threshold + descending-prob round robin (train.py:353-412)."""
+        """Threshold + descending-prob round robin (train.py:353-412).
+        Selection on device (uniform_selection_jax)."""
         abs_all, rel_all, _, probs, _ = self._run(batch, rng, num)
         s, p, g = probs.shape
-        sel = uniform_selection(np.asarray(probs).reshape(-1, g), num, eps)
-        gen_idxs = jnp.asarray(sel.reshape(s, p, num))
+        gen_idxs = uniform_selection_jax(
+            probs.reshape(-1, g), num, eps
+        ).reshape(s, p, num)
         out_abs, out_rel = self._gather(abs_all, rel_all, gen_idxs)
         return out_abs, out_rel, probs, gen_idxs
 
