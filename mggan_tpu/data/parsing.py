@@ -104,15 +104,34 @@ def window_scene(data: np.ndarray, skip: int = 1):
     present = np.zeros((np_, nf), bool)
     present[pi, fi] = True
 
-    # consecutive-frame requirement: window frames must be contiguous ints
-    contiguous = np.zeros(nf, bool)
     num_seq = int(np.ceil((nf - SEQ_LEN) / skip)) if nf >= SEQ_LEN else 0
+    if num_seq <= 0:
+        return []
+
+    # Full-presence keep matrix (num_seq, P): C++ prefix-sum fast path with a
+    # vectorised numpy twin (equality pinned by tests/test_native.py).
+    from mggan_tpu import native
+
+    starts = np.arange(num_seq) * skip
+    if native.available():
+        keep = native.window_presence(
+            np.ascontiguousarray(present, np.uint8), SEQ_LEN, skip
+        )[:num_seq].astype(bool)
+    else:
+        cs = np.concatenate(
+            [np.zeros((np_, 1), np.int32), np.cumsum(present, 1)], axis=1
+        )
+        keep = ((cs[:, starts + SEQ_LEN] - cs[:, starts]) == SEQ_LEN).T
+
+    # consecutive-frame requirement: window frames must be contiguous ints
+    gapsum = np.concatenate([[0], np.cumsum(np.diff(frames) != 1)])
+
     out = []
-    for start in range(0, max(num_seq, 0) * skip, skip):
-        fr = frames[start : start + SEQ_LEN]
-        if len(fr) < SEQ_LEN or (np.diff(fr) != 1).any():
+    for w in range(num_seq):
+        start = starts[w]
+        if gapsum[start + SEQ_LEN - 1] != gapsum[start]:
             continue
-        window_present = present[:, start : start + SEQ_LEN].all(axis=1)
+        window_present = keep[w]
         if not window_present.any():
             continue
         sel = np.where(window_present)[0]

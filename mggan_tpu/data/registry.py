@@ -13,6 +13,11 @@ per-dataset facts preserved:
 * GOFP is pixel-format at 10 fps with a hardcoded per-scene ratio table and
   an ``is_active`` column that NaN-masks inactive futures
   (experiments.py:476-508).
+* The synthetic SDD sets declare framerate 30 in the reference
+  (experiments.py:256,291,325,359) but are NOT frame-subsampled: the loader
+  subsamples only ``dataset_name in ("stanford", "gofp")``
+  (BaseTrajectories.py:145-147), so their registry entries here carry no
+  framerate.
 """
 
 from __future__ import annotations
@@ -109,28 +114,24 @@ REGISTRY = {
     "stanford_synthetic": DatasetInfo(
         name="stanford_synthetic",
         data_columns=SDD_COLUMNS + ["_"],
-        framerate=30,
         scaling_small=1.2,
         row_filters={"label": "Pedestrian", "lost": 0},
     ),
     "stanford_synthetic_2": DatasetInfo(
         name="stanford_synthetic_2",
         data_columns=SDD_COLUMNS + ["_"],
-        framerate=30,
         scaling_small=1.2,
         row_filters={"label": "Pedestrian", "lost": 0},
     ),
     "stanford_synthetic_4": DatasetInfo(
         name="stanford_synthetic_4",
         data_columns=SDD_COLUMNS + ["_"],
-        framerate=30,
         scaling_small=1.2,
         row_filters={"label": "Pedestrian", "lost": 0},
     ),
     "social_stanford_synthetic": DatasetInfo(
         name="social_stanford_synthetic",
         data_columns=SDD_COLUMNS + ["_", "other_ped"],
-        framerate=30,
         scaling_small=1.2,
         row_filters={"label": "Pedestrian", "lost": 0},
     ),

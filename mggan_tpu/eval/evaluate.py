@@ -55,9 +55,7 @@ def get_predictions(predictor, loader, num_preds=20, strategy="sampling", seed=0
             model_batch, jax.random.fold_in(rng, i), num=num_preds
         )
         abs_np = np.asarray(jax.device_get(abs_out))  # (K,S,P,T,2)
-        mask = np.asarray(batch["ped_mask"])
         valid_rows = np.asarray(model_batch["ped_mask"])
-        k = abs_np.shape[0]
         # flatten to reference layout: agents of scene 0, scene 1, ...
         sel = abs_np[:, valid_rows]  # (K, N_batch, T, 2)
         out.append(np.transpose(sel, (2, 0, 1, 3)))  # (T, K, N, 2)
