@@ -133,7 +133,8 @@ def _classifier_input(params, spec, in_xy, in_dxdy, pred_xy, pred_dxdy,
     if spec.scene_dim > 0 and patches is not None:
         flat = patches.reshape((s * p,) + patches.shape[2:])
         scene_enc, scene_state = scene_cnn_apply(
-            params["scene"], state["scene"], flat, train
+            params["scene"], state["scene"], flat, train,
+            mask=ped_mask.reshape(s * p),
         )
         scene_enc = scene_enc.reshape(s, p, -1)
         new_state["scene"] = scene_state

@@ -133,7 +133,8 @@ def encode(params, state, spec: GeneratorSpec, in_xy, in_dxdy, ped_mask, patches
         s, p = patches.shape[:2]
         flat = patches.reshape((s * p,) + patches.shape[2:])
         scene_enc, new_scene_state = scene_cnn_apply(
-            params["scene"], state["scene"], flat, train
+            params["scene"], state["scene"], flat, train,
+            mask=ped_mask.reshape(s * p),
         )
         feats.append(scene_enc.reshape(s, p, -1))
         new_state["scene"] = new_scene_state

@@ -45,13 +45,28 @@ def bn_init(ch, dtype=jnp.float32):
     return params, state
 
 
-def bn_apply(params, state, x, train: bool, momentum=0.1, eps=1e-5):
+def bn_apply(params, state, x, train: bool, momentum=0.1, eps=1e-5, mask=None):
+    """``mask`` (leading-axis bool, optional): rows excluded from the batch
+    statistics. The padded (S,P) layout feeds placeholder patches for absent
+    peds; the reference's dense N-ped batch never sees them (its BN
+    normalizes over exactly the real peds), so masked rows must not drag
+    the train-time mean/var."""
     if train:
         axes = tuple(range(x.ndim - 1))
-        mean = x.mean(axes)
-        var = x.var(axes)
-        n = np.prod([x.shape[a] for a in axes])
-        unbiased = var * n / max(n - 1, 1)
+        if mask is None:
+            mean = x.mean(axes)
+            var = x.var(axes)
+            n = np.prod([x.shape[a] for a in axes])
+            unbiased = var * n / max(n - 1, 1)
+        else:
+            w = mask.astype(x.dtype).reshape(
+                (mask.shape[0],) + (1,) * (x.ndim - 1)
+            )
+            per_row = float(np.prod(x.shape[1:-1]))
+            n = jnp.maximum(mask.sum().astype(x.dtype) * per_row, 1.0)
+            mean = (x * w).sum(axes) / n
+            var = (w * (x - mean) ** 2).sum(axes) / n
+            unbiased = var * n / jnp.maximum(n - 1.0, 1.0)
         new_state = {
             "mean": (1 - momentum) * state["mean"] + momentum * mean,
             "var": (1 - momentum) * state["var"] + momentum * unbiased,
@@ -87,18 +102,19 @@ def scene_cnn_init(key, channels_cnn: int, in_channels: int = 4, num_layers: int
     return params, state
 
 
-def scene_cnn_apply(params, state, patches, train: bool):
+def scene_cnn_apply(params, state, patches, train: bool, mask=None):
     """(B, 33, 33, 4) -> (B, 64) scene encoding (cnn.py:109-116).
 
     The conv stack yields (B, 8, 8, C); attention scores are softmaxed over
     the channel axis and channel-summed, giving one scalar per spatial cell.
+    ``mask`` (B,) excludes padded peds from BN batch statistics.
     """
     x = conv_apply(params["conv1"], patches)
-    x, bn1 = bn_apply(params["bn1"], state["bn1"], x, train)
+    x, bn1 = bn_apply(params["bn1"], state["bn1"], x, train, mask=mask)
     x = jax.nn.relu(x)
     x = max_pool_2x2(x)
     x = conv_apply(params["conv2"], x)
-    x, bn2 = bn_apply(params["bn2"], state["bn2"], x, train)
+    x, bn2 = bn_apply(params["bn2"], state["bn2"], x, train, mask=mask)
     x = jax.nn.relu(x)
     x = max_pool_2x2(x)  # (B, 8, 8, C)
 

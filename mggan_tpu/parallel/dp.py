@@ -10,9 +10,29 @@ contracting over the generator axis via an all-reduce.
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 
 from mggan_tpu.parallel.mesh import batch_shardings, replicated, state_shardings
 from mggan_tpu.training.steps import build_train_step
+
+
+def pad_scenes_to_multiple(batch, multiple: int):
+    """Pad the leading scene axis of every leaf up to a multiple.
+
+    Padded scenes are all-zero with ``ped_mask`` False everywhere, so they
+    contribute nothing to the global masked reductions inside the step (the
+    losses divide by the global mask count, never per-shard counts).
+    """
+    s = jax.tree.leaves(batch)[0].shape[0]
+    rem = (-s) % multiple
+    if rem == 0:
+        return batch
+
+    def pad(x):
+        widths = [(0, rem)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(jnp.asarray(x), widths)
+
+    return jax.tree.map(pad, batch)
 
 
 def make_parallel_train_step(config, g_spec, d_spec, mesh, state, example_batch,
@@ -39,4 +59,12 @@ def make_parallel_train_step(config, g_spec, d_spec, mesh, state, example_batch,
 
 
 def shard_batch(mesh, batch):
+    """Lay a padded (S, ...) batch out over the mesh's ``data`` axis.
+
+    The scene axis must divide the data-axis size for an even layout; when
+    it does not (e.g. ``batch_size`` not divisible by ``--dp``), empty
+    masked scenes are appended first. All batches of an epoch therefore
+    share one padded shape -> one compiled program.
+    """
+    batch = pad_scenes_to_multiple(batch, mesh.shape["data"])
     return jax.device_put(batch, batch_shardings(mesh, batch))

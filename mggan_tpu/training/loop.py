@@ -23,12 +23,7 @@ from mggan_tpu.eval.metrics import MetricAccumulator, batch_metric_sums
 from mggan_tpu.eval.predict import Predictor
 from mggan_tpu.models import factory
 from mggan_tpu.training import checkpoints as ckpt
-from mggan_tpu.training.state import (
-    TrainState,
-    cosine_lr,
-    init_train_state,
-    set_lr,
-)
+from mggan_tpu.training.state import TrainState, init_train_state
 from mggan_tpu.training.steps import (
     batch_views,
     build_split_train_step,
@@ -67,6 +62,9 @@ class Trainer:
         self._precompiled = False
         self._predictor = None
         self._aug_rng = np.random.RandomState(config.seed + 1)
+        from mggan_tpu.utils.trajectory_tools import GradNormLogger
+
+        self._grad_logger = GradNormLogger()
 
         @functools.partial(jax.jit, static_argnames=("train",))
         def _augment(rng, batch, train):
@@ -180,19 +178,27 @@ class Trainer:
             epoch_metrics = {}
             for k, vs in metrics.items():
                 vals = np.asarray([np.asarray(v) for v in vs], dtype=np.float64)
+                if k.startswith("gradnorm/"):
+                    # per-module gradient norms -> TB histograms per epoch
+                    # (reference GradNormLogger, utils.py:168-199,195-199)
+                    self._grad_logger.update_scalars(
+                        k[len("gradnorm/"):], vals
+                    )
+                    continue
                 if np.isnan(vals).all():
                     continue  # e.g. D-step skipped all epoch
                 epoch_metrics[k] = float(np.nanmean(vals))
+            self._grad_logger.write(self.writer, epoch + 1)
             self.writer.log(epoch_metrics, epoch + 1)
             if (epoch + 1) % cfg.save_every == 0:
                 self.save()
 
-            # schedules (abstract_train.py:198-200)
+            # schedules (abstract_train.py:198-200). The cosine LR is
+            # computed INSIDE the jitted step from state.epoch
+            # (state.py::scheduled_lr) — no host-side optimizer mutation.
             self.state = self.state.replace(
                 l2_weight=self.state.l2_weight * cfg.l2_decay_rate
             )
-            set_lr(self.state.d_opt, cosine_lr(cfg.d_lr, epoch + 1, cfg.epochs))
-            set_lr(self.state.g_opt, cosine_lr(cfg.g_lr, epoch + 1, cfg.epochs))
         return self
 
     def check_accuracy(self, loader, num_k=20, predict_strategy="sampling"):

@@ -9,9 +9,7 @@ from __future__ import annotations
 from typing import Any
 
 import flax.struct
-import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from mggan_tpu.config import Config
@@ -47,15 +45,25 @@ def make_optimizer(lr: float, beta1: float, clip: float):
     return optax.inject_hyperparams(build)(learning_rate=lr)
 
 
-def cosine_lr(base_lr: float, epoch: int, total_epochs: int) -> float:
-    """CosineAnnealingLR stepped per epoch, eta_min=0 (abstract_train.py:52-57)."""
-    return base_lr * 0.5 * (1.0 + float(np.cos(np.pi * epoch / total_epochs)))
+def scheduled_lr(base_lr: float, epoch, total_epochs: int):
+    """CosineAnnealingLR stepped at each epoch end, eta_min=0
+    (abstract_train.py:52-57, 198-200). ``epoch`` is the 1-based current
+    epoch carried in ``TrainState``; during epoch e the torch scheduler has
+    been stepped e-1 times, so LR = cosine(e-1). Traceable (jnp)."""
+    e = jnp.maximum(jnp.asarray(epoch, jnp.float32) - 1.0, 0.0)
+    return base_lr * 0.5 * (1.0 + jnp.cos(jnp.pi * e / total_epochs))
 
 
-def set_lr(opt_state, lr: float):
-    """Update the injected learning-rate hyperparameter in an optax state."""
-    opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, dtype=jnp.float32)
-    return opt_state
+def with_lr(opt_state, lr):
+    """Return ``opt_state`` with the injected learning-rate hyperparameter
+    functionally replaced (no in-place mutation: the state pytree is donated
+    each step and may carry explicit shardings)."""
+    return opt_state._replace(
+        hyperparams={
+            **opt_state.hyperparams,
+            "learning_rate": jnp.asarray(lr, jnp.float32),
+        }
+    )
 
 
 def init_train_state(config: Config, g_pack, d_pack, rng) -> TrainState:

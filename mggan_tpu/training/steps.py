@@ -28,7 +28,7 @@ from mggan_tpu.models import generator as G_mod
 from mggan_tpu.models import discriminator as D_mod
 from mggan_tpu.ops import losses as L
 from mggan_tpu.ops import sampling
-from mggan_tpu.training.state import TrainState, optimizers
+from mggan_tpu.training.state import TrainState, optimizers, scheduled_lr, with_lr
 from mggan_tpu.utils.pytree import tree_global_norm
 
 
@@ -101,6 +101,17 @@ def _g_forward_sampled(g_params, g_state, g_spec, config, bv: BatchViews, rng,
         noise,
         new_g_state,
     )
+
+
+def per_module_grad_norms(grads, prefix: str):
+    """Per-module gradient norms for the epoch histograms (reference
+    GradNormLogger, utils.py:168-199): top-level param-tree keys play the
+    role of module names. Keys carry a ``gradnorm/`` prefix so the trainer
+    routes them to TensorBoard histograms instead of scalar CSV columns."""
+    return {
+        f"gradnorm/{prefix}/{name}": tree_global_norm(sub)
+        for name, sub in grads.items()
+    }
 
 
 def _gradient_penalty(d_params, d_state, d_spec, bv: BatchViews, pred, rng,
@@ -198,7 +209,12 @@ def build_train_step(config: Config, g_spec, d_spec, jit: bool = True):
             state.d_params, state, bv, rng
         )
         metrics["train/grad_norm_D"] = tree_global_norm(grads)
-        updates, d_opt = tx_d.update(grads, state.d_opt, state.d_params)
+        metrics.update(per_module_grad_norms(grads, "D"))
+        lr_d = scheduled_lr(config.d_lr, state.epoch, config.epochs)
+        metrics["train/lr_D"] = lr_d
+        updates, d_opt = tx_d.update(
+            grads, with_lr(state.d_opt, lr_d), state.d_params
+        )
         d_params = jax.tree.map(lambda p, u: p + u, state.d_params, updates)
         return (
             state.replace(d_params=d_params, d_opt=d_opt, d_state=d_state1),
@@ -256,7 +272,12 @@ def build_train_step(config: Config, g_spec, d_spec, jit: bool = True):
             state.g_params, state, bv, rng
         )
         metrics["train/grad_norm_G"] = tree_global_norm(grads)
-        updates, g_opt = tx_g.update(grads, state.g_opt, state.g_params)
+        metrics.update(per_module_grad_norms(grads, "G"))
+        lr_g = scheduled_lr(config.g_lr, state.epoch, config.epochs)
+        metrics["train/lr_G"] = lr_g
+        updates, g_opt = tx_g.update(
+            grads, with_lr(state.g_opt, lr_g), state.g_params
+        )
         g_params = jax.tree.map(lambda p, u: p + u, state.g_params, updates)
         return (
             state.replace(g_params=g_params, g_opt=g_opt, g_state=g_state1),
@@ -337,7 +358,10 @@ def build_train_step(config: Config, g_spec, d_spec, jit: bool = True):
         grads, metrics = jax.grad(pm_loss_fn, has_aux=True)(
             state.g_params, state, bv, rng
         )
-        updates, g_opt = tx_g.update(grads, state.g_opt, state.g_params)
+        g_opt = with_lr(
+            state.g_opt, scheduled_lr(config.g_lr, state.epoch, config.epochs)
+        )
+        updates, g_opt = tx_g.update(grads, g_opt, state.g_params)
         g_params = jax.tree.map(lambda p, u: p + u, state.g_params, updates)
         return state.replace(g_params=g_params, g_opt=g_opt), metrics
 

@@ -42,6 +42,14 @@ class GradNormLogger:
             total_sq += norm**2
         self.grad_norms["grad_norm_total"].append(round(np.sqrt(total_sq), 3))
 
+    def update_scalars(self, module: str, values):
+        """Append already-computed per-step norms for one module (the jitted
+        train step emits them as ``gradnorm/<prefix>/<module>`` metrics; NaN
+        sentinels from skipped D-steps are dropped, matching the reference's
+        no-append on skipped iterations)."""
+        vals = [float(v) for v in values]
+        self.grad_norms[module].extend(v for v in vals if not np.isnan(v))
+
     def reset(self):
         self.grad_norms = defaultdict(list)
 

@@ -157,3 +157,36 @@ def test_gather_samples():
         for pp in range(P):
             g = int(gen[0, pp, kk])
             np.testing.assert_allclose(out[kk, 0, pp], np.asarray(dec[kk, g, 0, pp]))
+
+
+def test_masked_bn_matches_valid_rows_only():
+    """BN batch statistics must come from real peds only: running the scene
+    CNN on a padded batch with ``mask`` equals running it on just the valid
+    rows (the reference's dense N-ped batch, cnn.py:101-116 + torch BN)."""
+    import jax
+    import numpy as np
+    from mggan_tpu.ops.cnn import scene_cnn_init, scene_cnn_apply
+
+    key = jax.random.PRNGKey(0)
+    params, state = scene_cnn_init(key, channels_cnn=16)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (10, 33, 33, 4),
+                           minval=-1.0, maxval=1.0)
+    mask = np.zeros(10, bool)
+    mask[[0, 2, 3, 7]] = True
+
+    out_valid, st_valid = scene_cnn_apply(
+        params, state, x[np.flatnonzero(mask)], train=True
+    )
+    out_masked, st_masked = scene_cnn_apply(
+        params, state, x, train=True, mask=jax.numpy.asarray(mask)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_masked)[np.flatnonzero(mask)], np.asarray(out_valid),
+        rtol=1e-5, atol=1e-6,
+    )
+    for k in ("bn1", "bn2"):
+        for stat in ("mean", "var"):
+            np.testing.assert_allclose(
+                np.asarray(st_masked[k][stat]), np.asarray(st_valid[k][stat]),
+                rtol=1e-5, atol=1e-7, err_msg=f"{k}/{stat}",
+            )

@@ -52,16 +52,59 @@ def test_dp_matches_single_device():
     )
     s2, m2 = pstep(pstate, dp.shard_batch(mesh, batch))
 
+    assert_steps_match(s1, m1, s2, m2)
+
+
+def assert_steps_match(s1, m1, s2, m2):
+    """DP == single device, asserted at the strongest meaningful level:
+
+    * every scalar metric to 1e-5 relative;
+    * GRADIENTS elementwise via the Adam moments (mu = (1-b1)*g after one
+      step) to ~1e-7 absolute — the real invariant;
+    * parameters to 2e-3: Adam's step-1 update is lr*g/(|g|+eps) ~= +-lr,
+      so reduction-order noise on near-zero gradients legitimately flips
+      update signs and params can differ by O(lr) even with matching grads.
+    """
     for k in m1:
         np.testing.assert_allclose(
-            float(m1[k]), float(m2[k]), rtol=1e-2, atol=1e-4, err_msg=k
+            float(m1[k]), float(m2[k]), rtol=1e-5, atol=1e-7, err_msg=k
         )
-    # parameters agree after one step
+    for name in ("g_opt", "d_opt"):
+        t1, t2 = jax.device_get((getattr(s1, name), getattr(s2, name)))
+        for a, b in zip(jax.tree.leaves(t1), jax.tree.leaves(t2)):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-6,
+                err_msg=f"{name} moment mismatch",
+            )
     diffs = jax.tree.map(
         lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
         s1.g_params, jax.device_get(s2.g_params),
     )
-    assert max(jax.tree.leaves(diffs)) < 5e-3
+    assert max(jax.tree.leaves(diffs)) < 2e-3
+
+
+def test_dp_uneven_batch_pads_and_matches():
+    """batch_size not divisible by --dp: shard_batch pads with fully-masked
+    scenes and the sharded step equals the single-device step on the same
+    padded batch (noise draws are shape-keyed, so the unpadded batch is not
+    the comparison point — padding must happen identically on both sides)."""
+    cfg, g_pack, d_pack, state, batch = setup()
+    batch6 = jax.tree.map(lambda x: x[:6], batch)  # 6 scenes, dp=4
+    padded = dp.pad_scenes_to_multiple(batch6, 4)
+    assert jax.tree.leaves(padded)[0].shape[0] == 8
+    assert not bool(padded["ped_mask"][6:].any())  # pad scenes fully masked
+
+    single_step = build_train_step(cfg, g_pack[2], d_pack[2])
+    s1, m1 = single_step(jax.tree.map(jnp.copy, state), padded)
+
+    mesh = mesh_lib.make_mesh(dp=4, gp=1)
+    sharded = dp.shard_batch(mesh, batch6)  # pads internally to 8
+    assert jax.tree.leaves(sharded)[0].shape[0] == 8
+    pstep, pstate = dp.make_parallel_train_step(
+        cfg, g_pack[2], d_pack[2], mesh, state, sharded
+    )
+    s2, m2 = pstep(pstate, sharded)
+    assert_steps_match(s1, m1, s2, m2)
 
 
 def test_generator_parallel_executes():

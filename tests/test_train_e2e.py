@@ -103,6 +103,35 @@ def test_params_update_and_validation(tmp_path):
     assert 0 <= m["Mode k=3"] <= 1
 
 
+def test_cosine_lr_schedule_inside_step(tmp_path):
+    """LR is a pure function of state.epoch computed inside the jitted step
+    (abstract_train.py:52-57,198-200: CosineAnnealingLR stepped per epoch).
+    During 1-based epoch e the LR must be base*0.5*(1+cos(pi*(e-1)/E))."""
+    import jax.numpy as jnp
+
+    cfg = tiny_config(tmp_path, epochs=10)
+    writer = ExperimentWriter(
+        tmp_path, cfg.experiment, cfg.name, version=3, config=cfg, tensorboard=False
+    )
+    tr = Trainer(cfg, writer)
+    from mggan_tpu.data.loaders import get_dataloader
+
+    loader = get_dataloader(cfg.dataset, "train", batch_size=4, shuffle=False)
+    batch = next(iter(loader))
+    mb = tr._device_batch(batch, train=True)
+
+    seen = {}
+    for epoch in (1, 5, 10):
+        tr.state = tr.state.replace(epoch=jnp.asarray(epoch, jnp.int32))
+        tr.state, metrics = tr.train_step(tr.state, mb)
+        expected = cfg.g_lr * 0.5 * (1.0 + np.cos(np.pi * (epoch - 1) / cfg.epochs))
+        np.testing.assert_allclose(float(metrics["train/lr_G"]), expected, rtol=1e-5)
+        expected_d = cfg.d_lr * 0.5 * (1.0 + np.cos(np.pi * (epoch - 1) / cfg.epochs))
+        np.testing.assert_allclose(float(metrics["train/lr_D"]), expected_d, rtol=1e-5)
+        seen[epoch] = float(metrics["train/lr_G"])
+    assert seen[1] > seen[5] > seen[10] > 0  # visibly decays
+
+
 def test_nan_futures_gofp_style(tmp_path):
     """GOFP-style NaN futures: training and eval must mask inactive agents
     (trajectories_scene.py:171-175, abstract_train.py:130)."""
@@ -128,3 +157,31 @@ def test_nan_futures_gofp_style(tmp_path):
 
     m = tr.check_accuracy(loader, num_k=3)
     assert np.isfinite(m["ADE k=3"])
+
+
+def test_grad_norm_histograms_written(tmp_path):
+    """Per-module gradient-norm histograms reach the TB backend each epoch
+    (reference GradNormLogger usage, utils.py:168-199 + abstract_train)."""
+
+    class FakeTB:
+        def __init__(self):
+            self.hists = []
+
+        def add_histogram(self, name, vals, step):
+            self.hists.append((name, len(np.asarray(vals)), step))
+
+        def add_scalar(self, *a):
+            pass
+
+    cfg = tiny_config(tmp_path, epochs=1)
+    writer = ExperimentWriter(
+        tmp_path, cfg.experiment, cfg.name, version=31, config=cfg,
+        tensorboard=False,
+    )
+    writer._tb = FakeTB()
+    Trainer(cfg, writer).train()
+    names = {h[0] for h in writer._tb.hists}
+    assert any(n.startswith("gradient_histograms/G/") for n in names), names
+    assert any(n.startswith("gradient_histograms/D/") for n in names), names
+    # every histogram got one value per step of the epoch
+    assert all(h[1] >= 1 for h in writer._tb.hists)
