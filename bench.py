@@ -1,9 +1,17 @@
-"""Benchmark: k=20 multi-generator sampling throughput on the flagship model.
+"""Benchmark: flagship model on the real TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline is measured against the build target of 100k trajectories/sec
-k=20 sampling (BASELINE.md north star; the reference never measured
-throughput, SURVEY.md §6).
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
+
+* headline metric: k=20 multi-generator sampling throughput vs the 100k
+  traj/s build target (BASELINE.md north star; the reference never measured
+  throughput, SURVEY.md §6).
+* extra.train_*: fused D+G+PM train-step latency / agent throughput at 4096
+  agents (S=256 scenes x P=16 peds, the flagship batch).
+* extra.ref_*: the reference's torch train step on CPU
+  (benchmarks/ref_torch_cpu.json, produced by benchmarks/ref_torch_step.py;
+  caveat documented there and in BASELINE.md).
+* extra.host_pipeline_*: synthetic-data ingestion rate through
+  PaddedBatcher + Prefetcher, to show the host feed outruns the device step.
 """
 
 from __future__ import annotations
@@ -17,52 +25,161 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+S_TRAIN, P, K = 256, 16, 20  # 4096 agents/step, flagship shapes
+S_SAMPLE = 4096
 
-def main():
-    import jax
+
+def _flagship_config(**kw):
+    from mggan_tpu.config import Config
+
+    return Config(
+        dataset="synthetic_memory", num_gens=4, gan_type="mgan",
+        weighting_target="ml", h_dim=32, decoder_h_dim=32, **kw,
+    )
+
+
+def _make_batch(s, p, seed=0):
     import jax.numpy as jnp
 
-    from mggan_tpu.config import Config
-    from mggan_tpu.models import factory
-    from mggan_tpu.training.steps import batch_views, _g_forward_sampled
-
-    S, P, K = 4096, 16, 20
-    cfg = Config(
-        dataset="synthetic_memory", num_gens=4, gan_type="mgan",
-        weighting_target="ml", h_dim=32, decoder_h_dim=32,
-    )
-    g_pack, d_pack = factory.construct_model(cfg, jax.random.PRNGKey(0))
-    g_params, g_state, g_spec = g_pack
-
-    rng = np.random.RandomState(0)
-    batch = {
-        "xy": jnp.asarray(rng.randn(S, P, 20, 2).astype(np.float32).cumsum(2) * 0.1),
-        "ped_mask": jnp.ones((S, P), bool),
+    rng = np.random.RandomState(seed)
+    return {
+        "xy": jnp.asarray(rng.randn(s, p, 20, 2).astype(np.float32).cumsum(2) * 0.1),
+        "ped_mask": jnp.ones((s, p), bool),
         "patches": jnp.asarray(
-            rng.uniform(-1, 1, (S, P, 33, 33, 4)).astype(np.float32)
+            rng.uniform(-1, 1, (s, p, 33, 33, 4)).astype(np.float32)
         ),
     }
 
+
+def bench_sampling():
+    import jax
+
+    from mggan_tpu.models import factory
+    from mggan_tpu.training.steps import batch_views, _g_forward_sampled
+
+    cfg = _flagship_config()
+    g_pack, _ = factory.construct_model(cfg, jax.random.PRNGKey(0))
+    g_params, g_state, g_spec = g_pack
+    batch = _make_batch(S_SAMPLE, P)
+
+    # NOTE on timing: through the remote (axon) tunnel,
+    # jax.block_until_ready can report readiness before the device finishes;
+    # the only reliable fence is fetching a VALUE that depends on the whole
+    # computation. Every timer here reduces on device and fetches a scalar.
     @jax.jit
     def sample(g_params, g_state, batch, key):
         bv = batch_views(batch)
         pred, _, _, _, _ = _g_forward_sampled(
             g_params, g_state, g_spec, cfg, bv, key, num_samples=K, train=False
         )
-        return pred.abs
+        return pred.abs.sum()
 
     key = jax.random.PRNGKey(1)
-    out = sample(g_params, g_state, batch, key)  # compile
-    jax.block_until_ready(out)
+    float(sample(g_params, g_state, batch, key))  # compile + sync
 
-    n_iters = 20
+    n_iters = 10
     t0 = time.perf_counter()
     for i in range(n_iters):
         out = sample(g_params, g_state, batch, jax.random.fold_in(key, i))
-    jax.block_until_ready(out)
+    float(out)  # drains the queue
     dt = time.perf_counter() - t0
+    return n_iters * S_SAMPLE * P * K / dt
 
-    traj_per_sec = n_iters * S * P * K / dt
+
+def bench_train_step():
+    """Fused D+G+PM step latency on the flagship config (4096 agents)."""
+    import jax
+
+    from mggan_tpu.models import factory
+    from mggan_tpu.training.state import init_train_state
+    from mggan_tpu.training.steps import build_train_step
+
+    cfg = _flagship_config(batch_size=S_TRAIN)
+    g_pack, d_pack = factory.construct_model(cfg, jax.random.PRNGKey(0))
+    state = init_train_state(cfg, g_pack, d_pack, jax.random.PRNGKey(1))
+    step = build_train_step(cfg, g_pack[2], d_pack[2])
+    batch = _make_batch(S_TRAIN, P)
+
+    t0 = time.perf_counter()
+    state, metrics = step(state, batch)  # compile
+    float(metrics["train/gen_loss"])  # real sync (see bench_sampling note)
+    compile_s = time.perf_counter() - t0
+
+    n_iters = 30
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        state, metrics = step(state, batch)
+    float(metrics["train/gen_loss"])
+    dt = (time.perf_counter() - t0) / n_iters
+    return dt, compile_s
+
+
+def bench_host_pipeline():
+    """Ingestion: batches/s through PaddedBatcher + Prefetcher, for the
+    device-resident patch-bank feed (the default train path) and the
+    host-assembly fallback."""
+    import jax
+
+    from mggan_tpu.data.batcher import PaddedBatcher
+    from mggan_tpu.data.patch_bank import DevicePatchBank
+    from mggan_tpu.data.prefetch import Prefetcher
+    from mggan_tpu.data.synthetic import make_synthetic_dataset
+
+    ds = make_synthetic_dataset(num_windows=2048, max_peds=P, seed=0)
+    rates = {}
+    for name, kw in (
+        ("bank", dict(patch_bank=DevicePatchBank(ds, max_peds=P))),
+        ("host", dict()),
+    ):
+        import jax.numpy as jnp
+
+        def sync(b):  # value fetch = the only real fence through the tunnel
+            if name == "bank":
+                float(jnp.sum(b["big_patches"].astype(jnp.int32)))
+
+        loader = PaddedBatcher(ds, batch_size=S_TRAIN, shuffle=True, **kw)
+        for batch in loader:  # warmup: bank HBM upload + gather compile
+            pass
+        sync(batch)
+        n_batches = 0
+        t0 = time.perf_counter()
+        for _ in range(3):
+            for batch in Prefetcher(loader):
+                n_batches += 1
+        sync(batch)
+        dt = time.perf_counter() - t0
+        rates[name] = n_batches / dt
+    return rates
+
+
+def main():
+    traj_per_sec = bench_sampling()
+    step_s, compile_s = bench_train_step()
+    pipe = bench_host_pipeline()
+
+    agents_per_sec = S_TRAIN * P / step_s
+    extra = {
+        "train_step_ms_4096_agents": round(step_s * 1e3, 3),
+        "train_agents_per_sec": round(agents_per_sec, 1),
+        "train_compile_s": round(compile_s, 1),
+        "pipeline_bank_batches_per_sec": round(pipe["bank"], 2),
+        "pipeline_bank_agents_per_sec": round(pipe["bank"] * S_TRAIN * P, 1),
+        "pipeline_hostassembly_batches_per_sec": round(pipe["host"], 2),
+    }
+    ref_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "benchmarks", "ref_torch_cpu.json",
+    )
+    if os.path.exists(ref_path):
+        with open(ref_path) as f:
+            ref = json.load(f)
+        extra["ref_torch_cpu_step_s"] = ref["step_seconds"]
+        extra["ref_torch_cpu_agents_per_sec"] = ref["agents_per_sec"]
+        extra["train_speedup_vs_ref_torch_cpu"] = round(
+            agents_per_sec / ref["agents_per_sec"], 1
+        )
+        extra["ref_caveat"] = ref.get("caveat", "")
+
     print(
         json.dumps(
             {
@@ -70,6 +187,7 @@ def main():
                 "value": round(traj_per_sec, 1),
                 "unit": "traj/s",
                 "vs_baseline": round(traj_per_sec / 100_000.0, 3),
+                "extra": extra,
             }
         )
     )

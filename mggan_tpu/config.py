@@ -108,6 +108,12 @@ class Config:
     split_step: int = 0
     # Capture a jax.profiler trace of the first few train steps into this dir.
     profile_dir: str = ""
+    # Keep the split's uint8 patches resident in device HBM and gather per
+    # batch on device (data/patch_bank.py); 0 = host-side batch assembly.
+    patch_bank: int = 1
+    # Fused Pallas rollout kernel for the multi-generator decode
+    # (ops/pallas/decoder.py); effective on TPU backends, single chip.
+    pallas_decoder: int = 1
 
     def __post_init__(self):
         assert self.inp_format in INP_FORMATS
@@ -205,6 +211,8 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--data_root", type=str, default=d.data_root)
     p.add_argument("--split_step", type=int, default=d.split_step)
     p.add_argument("--profile_dir", type=str, default=d.profile_dir)
+    p.add_argument("--patch_bank", type=int, default=d.patch_bank)
+    p.add_argument("--pallas_decoder", type=int, default=d.pallas_decoder)
     return p
 
 

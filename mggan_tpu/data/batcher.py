@@ -26,13 +26,22 @@ class PaddedBatcher:
         seed: int = 0,
         pad_final: bool = True,
         include_patches: bool = True,
+        patch_bank=None,
     ):
         self.ds = ds
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.rng = np.random.RandomState(seed)
         self.pad_final = pad_final
-        self.include_patches = include_patches and ds.big_patches is not None
+        # With a device-resident bank (data/patch_bank.py) the host stops
+        # assembling patch arrays entirely; make_batch attaches the device
+        # gather instead (dispatched from the prefetch thread -> overlaps
+        # the train step).
+        self.patch_bank = patch_bank
+        self.include_patches = (
+            include_patches and patch_bank is None
+            and ds.big_patches is not None
+        )
 
         sizes = [len(t) for t in ds.trajectories]
         data_max = max(sizes) if sizes else 1
@@ -42,6 +51,7 @@ class PaddedBatcher:
                 f"dataset has a scene with {data_max} peds > max_peds="
                 f"{self.max_peds}; raise --max_peds"
             )
+        assert self.patch_bank is None or self.patch_bank.max_peds == self.max_peds
 
         # Scene extent in meters for augmentation (width, height).
         self._wh_m = {}
@@ -94,4 +104,6 @@ class PaddedBatcher:
         }
         if self.include_patches:
             batch["big_patches"] = big
+        elif self.patch_bank is not None:
+            batch["big_patches"] = self.patch_bank.gather(window_idx)
         return batch

@@ -58,15 +58,24 @@ def get_dataloader(
     max_peds=None,
     data_root="./data/datasets",
     seed=0,
+    patch_bank=False,
 ):
     assert phase in ("train", "val", "test")
     if phase in ("val", "test") and augment:
         augment = False  # data_loaders.py:21-23
     ds = get_dataset(dataset, phase, data_root=data_root, split=split)
+    bank = None
+    if patch_bank:
+        from mggan_tpu.data.patch_bank import maybe_build_bank
+
+        sizes = [len(t) for t in ds.trajectories]
+        resolved_max = max_peds or (max(sizes) if sizes else 1)
+        bank = maybe_build_bank(ds, resolved_max)
     return PaddedBatcher(
         ds,
         batch_size=batch_size,
         max_peds=max_peds,
         shuffle=shuffle,
         seed=seed,
+        patch_bank=bank,
     )

@@ -31,6 +31,11 @@ def build_specs(config: Config):
         use_pinet=use_pinet,
         learn_prior=config.unconditional,
         discrete=discrete,
+        use_pallas=(
+            bool(getattr(config, "pallas_decoder", 1))
+            and not discrete
+            and config.dp * config.gp == 1
+        ),
     )
     d_spec = discriminator.DiscriminatorSpec(
         h_dim=config.h_dim * 2,

@@ -44,6 +44,10 @@ class GeneratorSpec:
     use_pinet: bool
     learn_prior: bool
     discrete: bool = False  # DiscreteLatentGenerator ablation
+    # Fused Pallas rollout kernel (ops/pallas/decoder.py). Takes effect only
+    # on a TPU backend and off any dp/gp mesh; the XLA scan remains the
+    # portable/autodiff reference path.
+    use_pallas: bool = False
 
     @property
     def social_out_dim(self) -> int:
@@ -164,7 +168,7 @@ def pm_logits(params, spec: GeneratorSpec, enc_h):
 
 
 def decode_all(params, spec: GeneratorSpec, last_xy, last_dxdy, enc_h,
-               social_feats, noise, compute_dtype=None):
+               social_feats, noise, compute_dtype=None, use_pallas=True):
     """Run every generator on every noise sample (standard.py:227-265).
 
     Args:
@@ -172,6 +176,9 @@ def decode_all(params, spec: GeneratorSpec, last_xy, last_dxdy, enc_h,
         enc_h: (S, P, E_total); social_feats: (S, P, F).
         noise: (K, S, P, z).
         compute_dtype: optional bf16 fast path for the recurrent matmuls.
+        use_pallas: caller veto for the fused kernel (the G-step turns it
+            off because it differentiates through the rollout and the
+            kernel's VJP recomputes via the scan).
 
     Returns:
         GeneratorOutput with abs/rel of shape (K, G, S, P, pred_len, 2).
@@ -206,10 +213,18 @@ def decode_all(params, spec: GeneratorSpec, last_xy, last_dxdy, enc_h,
     else:
         inp = jnp.concatenate([enc_b, noise], axis=-1)
         h0 = flat(mlp_apply(params["enc_to_dec"], inp))
-        abs_g, rel_g = common.stacked_decoders_apply(
-            params["decoders"], xy_b, dxdy_b, social_b, h0,
-            spec.pred_len, spec.inp_format, compute_dtype,
-        )
+        if spec.use_pallas and use_pallas and jax.default_backend() == "tpu":
+            from mggan_tpu.ops.pallas.decoder import pallas_decode_all
+
+            abs_g, rel_g = pallas_decode_all(
+                params["decoders"], xy_b, dxdy_b, social_b, h0,
+                spec.pred_len, spec.inp_format,
+            )
+        else:
+            abs_g, rel_g = common.stacked_decoders_apply(
+                params["decoders"], xy_b, dxdy_b, social_b, h0,
+                spec.pred_len, spec.inp_format, compute_dtype,
+            )
 
     reshape = lambda x: jnp.moveaxis(
         x.reshape(spec.num_gens, k, s, p, spec.pred_len, 2), 0, 1

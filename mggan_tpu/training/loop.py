@@ -107,14 +107,18 @@ class Trainer:
     def train(self):
         cfg = self.config
         mp = cfg.max_peds or None
+        # Device-resident patch gathers land on the default device; the mesh
+        # path re-lays batches out itself, so keep host assembly there.
+        bank = bool(cfg.patch_bank) and self._mesh is None
         train_loader = get_dataloader(
             cfg.dataset, "train", augment=bool(cfg.augment),
             batch_size=cfg.batch_size, shuffle=True, max_peds=mp,
-            data_root=cfg.data_root, seed=cfg.seed,
+            data_root=cfg.data_root, seed=cfg.seed, patch_bank=bank,
         )
         val_loader = get_dataloader(
             cfg.dataset, "val", augment=False, batch_size=cfg.batch_size,
             shuffle=False, max_peds=mp, data_root=cfg.data_root,
+            patch_bank=bank,
         )
         track_metric = f"val/ADE k={cfg.top_k_test}"
         best = math.inf

@@ -72,9 +72,15 @@ def batch_views(batch) -> BatchViews:
 
 
 def _g_forward_sampled(g_params, g_state, g_spec, config, bv: BatchViews, rng,
-                       num_samples: int, train: bool):
+                       num_samples: int, train: bool,
+                       needs_decoder_grad: bool = False):
     """Encode + PM-sample + decode-all + gather (the reference's
     ``all_gen_out=False`` path, standard.py:186-214).
+
+    ``needs_decoder_grad``: True only where the caller differentiates
+    through the rollout (the G-step). Everywhere else the decode may take
+    the fused Pallas forward, whose custom VJP would otherwise recompute
+    through the scan.
 
     Returns (pred GeneratorOutput (K,S,P,T,2), logits (S,P,G),
     gen_idxs (S,P,K), noise (K,S,P,z), new_g_state).
@@ -90,7 +96,7 @@ def _g_forward_sampled(g_params, g_state, g_spec, config, bv: BatchViews, rng,
     noise = sampling.global_noise(k_noise, num_samples, s, p, config.noise_dim)
     out_all = G_mod.decode_all(
         g_params, g_spec, bv.in_xy[:, :, -1], bv.in_dxdy[:, :, -1],
-        enc_h, social_feats, noise,
+        enc_h, social_feats, noise, use_pallas=not needs_decoder_grad,
     )
     pred_abs = sampling.gather_samples(out_all.abs, gen_idxs)
     pred_rel = sampling.gather_samples(out_all.rel, gen_idxs)
@@ -229,7 +235,7 @@ def build_train_step(config: Config, g_spec, d_spec, jit: bool = True):
 
         pred, logits, gen_idxs, noise, g_state1 = _g_forward_sampled(
             g_params, state.g_state, g_spec, config, bv, k_gen,
-            num_samples=num_samples, train=True,
+            num_samples=num_samples, train=True, needs_decoder_grad=True,
         )
         total = jnp.asarray(0.0)
         metrics = {}
