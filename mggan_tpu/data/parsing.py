@@ -159,13 +159,23 @@ def build_image_entry(img: np.ndarray, info: registry.DatasetInfo, ratio: float)
     else:
         scale_factor = 1.0
         scaled = img
-    f_small = info.img_scaling / info.scaling_small
-    small_size = (
-        max(int(round(scaled.shape[1] * f_small)), 1),
-        max(int(round(scaled.shape[0] * f_small)), 1),
-    )
-    small = cv2.resize(scaled, small_size, interpolation=cv2.INTER_AREA)
-    return {"ratio": ratio, "scale_factor": scale_factor, "small": small}
+    def down(src, m_per_px):
+        f = info.img_scaling / m_per_px
+        size = (
+            max(int(round(src.shape[1] * f)), 1),
+            max(int(round(src.shape[0] * f)), 1),
+        )
+        return cv2.resize(src, size, interpolation=cv2.INTER_AREA)
+
+    return {
+        "ratio": ratio,
+        "scale_factor": scale_factor,
+        "scaled": scaled,
+        "small": down(scaled, info.scaling_small),
+        # debug pyramid level (BaseTrajectories.py:104-110); unused by
+        # train/eval, consumed by viz.plot_scene_window(image_type="tiny")
+        "tiny": down(scaled, info.scaling_tiny),
+    }
 
 
 def load_scene_dataset(name: str, phase: str, data_root="./data/datasets",

@@ -76,6 +76,7 @@ class DatasetInfo:
     framerate: Optional[float] = None  # triggers frame subsampling
     homography: str = "none"  # "none" | "sdd_csv" | "gofp_table"
     scaling_small: float = 0.5  # patch-image meters/px (data_loaders.py:30-87)
+    scaling_tiny: float = 0.25  # debug-pyramid meters/px (BaseTrajectories.py:41)
     row_filters: dict = field(default_factory=dict)
     extra_columns: list = field(default_factory=list)
 

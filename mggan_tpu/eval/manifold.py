@@ -35,18 +35,70 @@ class Manifold:
         inside = self.compute_inside(test_data)
         return float(inside.sum()) / len(test_data)
 
+    def get_polygons(self, time):
+        """Circle polygons of the manifold at timestep(s) ``time``
+        (manifold.py:79-95). With shapely installed this returns their
+        unary union (reference-exact); without it, the un-unioned list of
+        polygons (identical fill, edges also drawn on interior seams)."""
+        import matplotlib.patches as patches
+
+        if not isinstance(time, list):
+            time = [time]
+        polys = []
+        for t in time:
+            for idx in range(self.data.shape[0]):
+                endpoint = self.data[idx, t]
+                circle = patches.CirclePolygon(
+                    (endpoint[0], endpoint[1]), self.radius[t]
+                )
+                verts = circle.get_path().vertices
+                points = circle.get_patch_transform().transform(verts)
+                polys.append(points)
+        try:
+            from shapely.geometry import Polygon
+            from shapely.ops import unary_union
+
+            union = unary_union([Polygon(p) for p in polys])
+            geoms = getattr(union, "geoms", [union])
+            return [np.array(g.exterior.coords) for g in geoms]
+        except ImportError:
+            return polys
+
     def plot_manifold(self, time, color="r", axes=None, border_only=False):
-        """Matplotlib sphere/polygon rendering (manifold.py:20-58)."""
+        """Matplotlib sphere/polygon rendering (manifold.py:20-58).
+
+        ``border_only``: per-timestep manifold cross-sections as filled
+        polygons with Reds-colormap borders; otherwise final-radius circles
+        around each endpoint.
+        """
         import matplotlib.pyplot as plt
+        import matplotlib.patches as patches
 
         if axes is None:
             _, axes = plt.subplots()
-        for idx in range(self.data.shape[0]):
-            endpoint = self.data[idx, -1]
-            axes.add_artist(
-                plt.Circle(tuple(endpoint), self.radius[-1], color=color, fill=False)
-            )
-            axes.scatter(endpoint[0], endpoint[1])
+
+        if border_only:
+            times = time if isinstance(time, list) else [time]
+            cmap = plt.get_cmap("Reds", len(times) + 2)
+            for i, t in enumerate(times):
+                for poly in self.get_polygons(t):
+                    axes.add_patch(patches.Polygon(
+                        np.asarray(poly), facecolor="none", edgecolor=cmap(i),
+                        lw=3,
+                    ))
+                    axes.add_patch(patches.Polygon(
+                        np.asarray(poly), facecolor=cmap(i), edgecolor="none",
+                        lw=3, alpha=0.5, zorder=1,
+                    ))
+        else:
+            for idx in range(self.data.shape[0]):
+                endpoint = self.data[idx, -1]
+                axes.add_artist(
+                    plt.Circle(
+                        tuple(endpoint), self.radius[-1], color=color, fill=False
+                    )
+                )
+                axes.scatter(endpoint[0], endpoint[1])
         return axes
 
 

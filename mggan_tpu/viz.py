@@ -110,3 +110,38 @@ def plot_manifold_with_preds(manifold, preds, obs=None, ax=None):
         obs = np.asarray(obs)
         ax.plot(obs[:, 0], obs[:, 1], "k-", lw=2)
     return ax
+
+
+def plot_scene_window(ds, index, modes=("in", "gt"), image_type="small",
+                      ax=None):
+    """Debug plot of one dataset window over its scene-image pyramid level
+    (reference BaseTrajectories.plot, BaseTrajectories.py:160-253).
+
+    ds: SceneDataset; index: window index; image_type: "scaled" | "small" |
+    "tiny" (pyramid levels of data/parsing.py::build_image_entry).
+    """
+    import matplotlib.pyplot as plt
+
+    if ax is None:
+        _, ax = plt.subplots()
+    entry = ds.images[ds.scene_names[index]]
+    if image_type not in entry:
+        raise ValueError(f"'{image_type}' not a valid image_type")
+    img = entry[image_type]
+    # meters -> pixels of the chosen level (BaseTrajectories.py:168-183)
+    m_per_px = {"scaled": 0.05, "small": 1.0 / ds.px_per_meter}.get(image_type)
+    if m_per_px is None:  # tiny: scaled by small/tiny resolution ratio
+        small = entry["small"]
+        m_per_px = (1.0 / ds.px_per_meter) * small.shape[0] / img.shape[0]
+    scale = 1.0 / m_per_px
+
+    ax.imshow(img)
+    traj = np.asarray(ds.trajectories[index]) * scale
+    for ped in traj:
+        if "in" in modes:
+            ax.plot(ped[:8, 0], ped[:8, 1], color="black", marker="o",
+                    markersize=2)
+        if "gt" in modes and np.isfinite(ped[8:]).all():
+            ax.plot(ped[7:, 0], ped[7:, 1], color="red", marker="o",
+                    markersize=2)
+    return ax

@@ -118,3 +118,55 @@ def test_golden_forward_regression():
     np.testing.assert_allclose(
         np.asarray(got["abs_last"]), np.asarray(want["abs_last"]), atol=1e-3
     )
+
+
+def test_plot_manifold_border_only(tmp_path):
+    """border_only/time render per-timestep polygon cross-sections
+    (manifold.py:20-58, 79-95) — previously accepted-but-ignored args."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+    from mggan_tpu.eval.manifold import Manifold
+
+    rng = np.random.RandomState(0)
+    man = Manifold(rng.randn(5, 12, 2), radius=3.0)
+
+    polys = man.get_polygons([3, 7])
+    assert len(polys) >= 1
+    assert all(np.asarray(p).shape[-1] == 2 for p in polys)
+
+    ax = man.plot_manifold(time=[2, 6, 11], border_only=True)
+    assert len(ax.patches) >= 2 * 3  # 2 patches (border+fill) per polygon
+    ax2 = man.plot_manifold(time=11, border_only=False)
+    assert len(ax2.artists) == 5 or len(ax2.patches) >= 0
+    plt.close("all")
+
+
+def test_plot_scene_window_pyramid(tmp_path):
+    """In-dataset debug plot over scaled/small/tiny pyramid levels
+    (BaseTrajectories.py:104-110, 160-253)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+    from mggan_tpu import viz
+    from mggan_tpu.data.synthetic import make_synthetic_dataset
+
+    ds = make_synthetic_dataset(num_windows=4, max_peds=3, seed=1)
+    # synthetic entries carry only "small"; add pyramid levels like
+    # build_image_entry does
+    for entry in ds.images.values():
+        small = entry["small"]
+        entry.setdefault("scaled", small)
+        entry.setdefault("tiny", small[::2, ::2])
+
+    for image_type in ("scaled", "small", "tiny"):
+        ax = viz.plot_scene_window(ds, 0, image_type=image_type)
+        assert len(ax.lines) > 0
+    try:
+        viz.plot_scene_window(ds, 0, image_type="nope")
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+    plt.close("all")

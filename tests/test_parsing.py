@@ -159,3 +159,33 @@ def test_sdd_subsample_and_ratio(tmp_path):
     t0 = ds.trajectories[0]
     np.testing.assert_allclose(t0[0, 0, 0], (100) * 0.04, rtol=1e-5)
     assert ds.eval_scaling(0) == pytest.approx(1 / 0.04)
+
+
+def test_biwi_homography_roundtrip_and_warp():
+    """BIWI H matrices (experiments.py:376-473) + vectorized world<->pixel
+    transforms (experiments.py:88-97) + cv2-free perspective warp."""
+    import numpy as np
+    from mggan_tpu.data import homography as hg
+
+    assert set(hg.BIWI_HOMOGRAPHY) == {"eth", "hotel", "univ", "zara1", "zara2"}
+    rng = np.random.RandomState(0)
+    px = rng.uniform(0, 400, (50, 2))
+    for scene in hg.BIWI_HOMOGRAPHY:
+        world = hg.pixel_to_world(px, scene)
+        back = hg.world_to_pixel(world, scene)
+        np.testing.assert_allclose(back, px, atol=1e-8)
+
+    # vectorized transform == the reference's per-row loop semantics
+    h = hg.BIWI_HOMOGRAPHY["eth"]
+    ours = hg.apply_homography(px, h)
+    for i in range(5):
+        v = h @ np.array([px[i, 0], px[i, 1], 1.0])
+        np.testing.assert_allclose(ours[i], v[:2] / v[2], rtol=1e-12)
+
+    # identity warp returns the image; translation shifts it
+    img = rng.uniform(0, 255, (20, 30)).astype(np.float64)
+    out = hg.warp_image(img, np.eye(3), (30, 20))
+    np.testing.assert_allclose(out, img, atol=1e-9)
+    shift = np.array([[1.0, 0, 3.0], [0, 1.0, 0], [0, 0, 1.0]])
+    out = hg.warp_image(img, shift, (30, 20))
+    np.testing.assert_allclose(out[:, 3:], img[:, :27], atol=1e-9)
