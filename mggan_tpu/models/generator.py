@@ -176,9 +176,9 @@ def decode_all(params, spec: GeneratorSpec, last_xy, last_dxdy, enc_h,
         enc_h: (S, P, E_total); social_feats: (S, P, F).
         noise: (K, S, P, z).
         compute_dtype: optional bf16 fast path for the recurrent matmuls.
-        use_pallas: caller veto for the fused kernel (the G-step turns it
-            off because it differentiates through the rollout and the
-            kernel's VJP recomputes via the scan).
+        use_pallas: caller veto for the fused kernel (kept for debugging /
+            A-B timing; the kernel has a fused backward so training paths
+            use it too).
 
     Returns:
         GeneratorOutput with abs/rel of shape (K, G, S, P, pred_len, 2).

@@ -1,11 +1,13 @@
-"""Pallas TPU kernel: fused multi-generator autoregressive decoder.
+"""Pallas TPU kernels: fused multi-generator autoregressive decoder, forward
+AND backward.
 
 The hottest op in the framework is the 12-step rollout of N generator
 decoders over (samples x scenes x peds) rows (reference: Python loop over
 ``self.gs`` of per-step cuDNN LSTM calls, standard.py:255-261 +
-common_modules.py:112-128).
+common_modules.py:112-128), and — in training — its backward pass, which
+dominates the G-step (~42 of 74 ms per flagship train step on the XLA scan).
 
-Design (v2 — "generators packed into lanes"):
+Design ("generators packed into lanes"):
 
 * The generator axis is folded into the LANE dimension: the recurrent state
   is ``h, c : (TILE, G*H)`` (G=4, H=32 -> 128 lanes, a full VPU register
@@ -15,17 +17,18 @@ Design (v2 — "generators packed into lanes"):
   producing all generators' gates at once; the i/f/g/o splits are then
   contiguous 128-lane slices.
 * The whole rollout runs in VMEM: h/c/xy never touch HBM between steps, and
-  the 12 steps' outputs are concatenated into one wide (TILE, 12*4*G) store
-  (the v1 kernel's 2-wide column stores were its bottleneck).
-* Row inputs (h0, packed social contribution, seed positions) are read from
-  HBM once per row tile; weights stay resident in VMEM across the grid.
-* Optional bf16 compute for the recurrent matmuls (serving fast path).
+  the 12 steps' outputs are concatenated into one wide (TILE, T*4G) store.
+* The TRAIN forward additionally streams the (h_t, c_t) sequence to HBM
+  (``(TILE, T*2*G*H)``, one wide store); the backward kernel re-reads it,
+  RECOMPUTES the gate activations (cheaper than saving them), and runs the
+  reverse sweep entirely in VMEM, accumulating the packed weight gradients
+  in VMEM across the sequential TPU grid.
+* Gradients w.r.t. the ORIGINAL stacked per-generator parameters come from
+  chaining the kernel's packed-weight cotangents through ``jax.vjp`` of the
+  (cheap, XLA-level) packing function.
 
-Training integration: ``pallas_decode_all`` carries a ``jax.custom_vjp``
-whose backward recomputes through the XLA scan path
-(``stacked_decoders_apply``), so the kernel is safe under ``jax.grad`` —
-the D-step and PM-step rollouts are under ``stop_gradient`` and get the
-kernel's forward speed for free.
+Equivalence with the XLA scan path — forward and gradients — is tested in
+interpret mode on CPU (tests/test_pallas_decoder.py).
 """
 
 from __future__ import annotations
@@ -37,24 +40,33 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-ROW_TILE = 1024
+ROW_TILE = 1024        # inference forward
+TRAIN_ROW_TILE = 256   # train fwd/bwd (residual block must fit VMEM)
 
-# Tests on CPU flip this to run the kernel through the Pallas interpreter.
+# Tests on CPU flip this to run the kernels through the Pallas interpreter.
 INTERPRET = False
 
+_IN_DIM = {"rel": 2, "abs": 2, "abs_rel": 4}
 
-def _packed_weights(stacked, inp_format: str):
-    """Stacked per-generator params -> lane-packed block-diagonal weights.
 
-    Returns:
-        w_emb (G*in, 4*G*H)   embedding folded into the input-gate matmul,
-                               gate-type-major columns (all gens' i, then f,
-                               then g, then o), block-diagonal over gens;
+# --------------------------------------------------------------- packing --
+def _pack_all(stacked, social_feats, inp_format: str):
+    """Stacked per-generator params (+ social features) -> lane-packed
+    tensors. Differentiable: the custom VJP chains the kernel's packed
+    cotangents back through this function.
+
+    Returns (w_emb, w_hh, b, w1, w2, b2, socb):
+        w_emb (G*in, 4*G*H)   embedding folded into the gate matmul
+                               (common_modules.py:118-119 has no nonlinearity
+                               between embedding and LSTM), gate-type-major
+                               columns, block-diagonal over gens;
         w_hh  (G*H, 4*G*H)    recurrent weights, same column layout;
         b     (4*G*H,)        fused bias;
         w1    (G*H, G*hid)    hidden2pos first layer (block-diagonal);
         w2    (G*hid, G*2)    hidden2pos second layer (block-diagonal);
         b2    (G*2,)
+        socb  (N, G*hid)      per-row social contribution + b1 (hoisted out
+                               of the rollout; constant across steps)
     """
     emb_w = stacked["spatial_embedding"]["w"]  # (G, in, emb)
     emb_b = stacked["spatial_embedding"]["b"]  # (G, emb)
@@ -63,8 +75,6 @@ def _packed_weights(stacked, inp_format: str):
     g, in_dim, _ = emb_w.shape
     h = w_hh.shape[1]
 
-    # per-gen fused gate weights (embedding has no nonlinearity before the
-    # LSTM, common_modules.py:118-119 — algebraic fold, see models/common.py)
     wi = jnp.einsum("gie,geh->gih", emb_w, w_ih)  # (G, in, 4h)
     bc = (
         jnp.einsum("ge,geh->gh", emb_b, w_ih)
@@ -72,10 +82,11 @@ def _packed_weights(stacked, inp_format: str):
         + stacked["lstm"]["b_hh"]
     )  # (G, 4h)
 
+    idx = jnp.arange(g)
+
     def pack_gates(w, rows):  # (G, rows, 4h) -> (G*rows, 4*G*h) block-diag
         out = jnp.zeros((g, rows, 4, g, h), w.dtype)
         src = w.reshape(g, rows, 4, h)  # gate order i,f,g,o
-        idx = jnp.arange(g)
         out = out.at[idx, :, :, idx, :].set(src)
         return out.reshape(g * rows, 4 * g * h)
 
@@ -86,7 +97,6 @@ def _packed_weights(stacked, inp_format: str):
     w1 = stacked["hidden2pos"]["lin0"]["w"]  # (G, H+F, hid)
     w1h = w1[:, :h]  # (G, H, hid)
     hid = w1h.shape[-1]
-    idx = jnp.arange(g)
     w1_p = jnp.zeros((g, h, g, hid), w1h.dtype).at[idx, :, idx, :].set(w1h)
     w1_p = w1_p.reshape(g * h, g * hid)
 
@@ -94,14 +104,44 @@ def _packed_weights(stacked, inp_format: str):
     w2_p = jnp.zeros((g, hid, g, 2), w2.dtype).at[idx, :, idx, :].set(w2)
     w2_p = w2_p.reshape(g * hid, g * 2)
     b2 = stacked["hidden2pos"]["lin1"]["b"].reshape(g * 2)
-    return w_emb, w_hh_p, b, w1_p, w2_p, b2
+
+    w1s = w1[:, h:]  # (G, F, hid)
+    b1 = stacked["hidden2pos"]["lin0"]["b"]  # (G, hid)
+    socb = jnp.einsum("nf,gfh->ngh", social_feats, w1s) + b1[None]
+    socb = socb.reshape(social_feats.shape[0], g * hid)
+    return w_emb, w_hh_p, b, w1_p, w2_p, b2, socb
 
 
-def _decoder_kernel(
+def _make_te(xy, dxdy, g, inp_format):
+    """Per-gen input blocks for the gate matmul: rel=[dx dy], abs=[x y],
+    abs_rel=[x y dx dy] per generator (matches _pack_all's row order).
+    Lane-crossing reshapes are unsupported by Mosaic, so the interleave is
+    a static slice/concat loop over the (small) generator count."""
+    if inp_format == "rel":
+        return dxdy
+    if inp_format == "abs":
+        return xy
+    parts = []
+    for k in range(g):
+        parts.append(xy[:, 2 * k : 2 * k + 2])
+        parts.append(dxdy[:, 2 * k : 2 * k + 2])
+    return jnp.concatenate(parts, axis=-1)
+
+
+def _sum_gen_blocks(x, g, width):
+    """Sum (T, g*width) lane blocks -> (T, width) without a reshape."""
+    acc = x[:, :width]
+    for k in range(1, g):
+        acc = acc + x[:, k * width : (k + 1) * width]
+    return acc
+
+
+# --------------------------------------------------------------- forward --
+def _fwd_kernel(
     wemb_ref, whh_ref, b_ref, w1_ref, w2_ref, b2_ref,
     h0_ref, socb_ref, xy0_ref, dxdy0_ref,
-    out_ref,
-    *, num_gens: int, pred_len: int, inp_format: str, h_dim: int,
+    out_ref, *maybe_hc_ref,
+    num_gens: int, pred_len: int, inp_format: str, h_dim: int,
     compute_dtype,
 ):
     g = num_gens
@@ -123,20 +163,11 @@ def _decoder_kernel(
     h = jnp.concatenate([h0_ref[:]] * g, axis=-1).astype(cd)  # (T, G*H)
     c = jnp.zeros_like(h, dtype=f32)
 
-    steps = []
+    steps, hc_steps = [], []
     for _ in range(pred_len):
-        if inp_format == "rel":
-            to_embed = dxdy
-        elif inp_format == "abs":
-            to_embed = xy
-        else:
-            # (T, G*4): per-gen [x y dx dy] blocks
-            t = xy.shape[0]
-            to_embed = jnp.concatenate(
-                [xy.reshape(t, g, 2), dxdy.reshape(t, g, 2)], axis=-1
-            ).reshape(t, g * 4)
+        te = _make_te(xy, dxdy, g, inp_format)
         gates = (
-            jnp.dot(to_embed.astype(cd), wemb, preferred_element_type=f32)
+            jnp.dot(te.astype(cd), wemb, preferred_element_type=f32)
             + jnp.dot(h, whh, preferred_element_type=f32)
             + b
         )  # (T, 4*G*H), gate-type-major: full-lane slices below
@@ -153,69 +184,320 @@ def _decoder_kernel(
         dxdy = nd
         steps.append(xy)
         steps.append(nd)
-    # one wide store: (T, pred_len * 2 * G*2)
+        if maybe_hc_ref:
+            hc_steps.append(h.astype(f32))
+            hc_steps.append(c)
     out_ref[:] = jnp.concatenate(steps, axis=-1)
+    if maybe_hc_ref:
+        maybe_hc_ref[0][:] = jnp.concatenate(hc_steps, axis=-1)
 
 
-def _decode_impl(stacked, last_xy, last_dxdy, social_feats, h0, pred_len,
-                 inp_format, compute_dtype=None, interpret=False):
+def _pad_rows(x, tile):
+    pad = (-x.shape[0]) % tile
+    return jnp.pad(x, ((0, pad), (0, 0))) if pad else x
+
+
+def _decode_fwd(packed, last_xy, last_dxdy, h0, pred_len, inp_format,
+                save_hc, compute_dtype=None, interpret=False):
+    """Run the forward kernel; returns (out2d padded, hc padded or None)."""
+    w_emb, w_hh, b, w1, w2, b2, socb = packed
     n, h_dim = h0.shape
-    num_gens = stacked["lstm"]["w_hh"].shape[0]
-    w_emb, w_hh, b, w1, w2, b2 = _packed_weights(stacked, inp_format)
+    gh = w_hh.shape[0]
+    num_gens = gh // h_dim
+    tile = TRAIN_ROW_TILE if save_hc else ROW_TILE
 
-    # social contribution is constant over steps; pack gen-major on lanes
-    w1s = stacked["hidden2pos"]["lin0"]["w"][:, h_dim:]  # (G, F, hid)
-    b1 = stacked["hidden2pos"]["lin0"]["b"]  # (G, hid)
-    socb = jnp.einsum("nf,gfh->ngh", social_feats, w1s) + b1[None]
-    socb = socb.reshape(n, -1)  # (N, G*hid)
-
-    pad = (-n) % ROW_TILE
-    if pad:
-        padf = lambda x: jnp.pad(x, ((0, pad), (0, 0)))
-        h0, last_xy, last_dxdy, socb = (
-            padf(h0), padf(last_xy), padf(last_dxdy), padf(socb)
-        )
-    n_padded = n + pad
+    h0p = _pad_rows(h0, tile)
+    xyp = _pad_rows(last_xy, tile)
+    dxdyp = _pad_rows(last_dxdy, tile)
+    socbp = _pad_rows(socb, tile)
+    n_padded = h0p.shape[0]
 
     kernel = functools.partial(
-        _decoder_kernel,
-        num_gens=num_gens,
-        pred_len=pred_len,
-        inp_format=inp_format,
-        h_dim=h_dim,
-        compute_dtype=compute_dtype,
+        _fwd_kernel,
+        num_gens=num_gens, pred_len=pred_len, inp_format=inp_format,
+        h_dim=h_dim, compute_dtype=compute_dtype,
     )
-    grid = (n_padded // ROW_TILE,)
+    grid = (n_padded // tile,)
     ghid = socb.shape[1]
     out_cols = pred_len * 2 * num_gens * 2
     wspec = lambda a: pl.BlockSpec(
         a.shape, lambda i: (0,) * a.ndim, memory_space=pltpu.VMEM
     )
-    out = pl.pallas_call(
+    rowspec = lambda cols: pl.BlockSpec(
+        (tile, cols), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    out_shapes = [jax.ShapeDtypeStruct((n_padded, out_cols), jnp.float32)]
+    out_specs = [rowspec(out_cols)]
+    if save_hc:
+        out_shapes.append(
+            jax.ShapeDtypeStruct((n_padded, pred_len * 2 * gh), jnp.float32)
+        )
+        out_specs.append(rowspec(pred_len * 2 * gh))
+    res = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             wspec(w_emb), wspec(w_hh), wspec(b), wspec(w1), wspec(w2),
-            wspec(b2),
-            pl.BlockSpec((ROW_TILE, h_dim), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ROW_TILE, ghid), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ROW_TILE, 2), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ROW_TILE, 2), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+            wspec(b2), rowspec(h_dim), rowspec(ghid), rowspec(2), rowspec(2),
         ],
-        out_specs=pl.BlockSpec((ROW_TILE, out_cols), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_padded, out_cols), jnp.float32),
+        out_specs=out_specs if save_hc else out_specs[0],
+        out_shape=out_shapes if save_hc else out_shapes[0],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret or INTERPRET,
-    )(w_emb, w_hh, b, w1, w2, b2, h0, socb, last_xy, last_dxdy)
+    )(w_emb, w_hh, b, w1, w2, b2, h0p, socbp, xyp, dxdyp)
+    if save_hc:
+        return res[0], res[1]
+    return res, None
 
+
+def _reshape_out(out2d, n, num_gens, pred_len):
     # (N, pred, 2, G, 2): axis 2 is [abs, rel]
-    out = out[:n].reshape(n, pred_len, 2, num_gens, 2)
+    out = out2d[:n].reshape(n, pred_len, 2, num_gens, 2)
     out = jnp.moveaxis(out, 3, 0)  # (G, N, pred, 2, 2)
     return out[..., 0, :], out[..., 1, :]
+
+
+# -------------------------------------------------------------- backward --
+def _bwd_kernel(
+    wemb_ref, whh_ref, b_ref, w1_ref, w2_ref,
+    h0_ref, socb_ref, xy0_ref, dxdy0_ref, out_ref, hc_ref, gout_ref,
+    dh0_ref, dxy0_ref, ddxdy0_ref, dsocb_ref,
+    dwemb_ref, dwhh_ref, db_ref, dw1_ref, dw2_ref, db2_ref,
+    *, num_gens: int, pred_len: int, inp_format: str, h_dim: int,
+):
+    """Reverse sweep over one row tile; weight grads accumulate in the
+    revisited output blocks across the (sequential) TPU grid."""
+    g = num_gens
+    gh = g * h_dim
+    g2 = g * 2
+    f32 = jnp.float32
+
+    wemb = wemb_ref[:]
+    whh = whh_ref[:]
+    b = b_ref[:]
+    w1 = w1_ref[:]
+    w2 = w2_ref[:]
+    socb = socb_ref[:]
+    hc = hc_ref[:]
+    out = out_ref[:]
+    gout = gout_ref[:]
+    t_rows = hc.shape[0]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for ref in (dwemb_ref, dwhh_ref, db_ref, dw1_ref, dw2_ref, db2_ref):
+            ref[:] = jnp.zeros(ref.shape, ref.dtype)
+
+    xy0 = jnp.concatenate([xy0_ref[:]] * g, axis=-1)
+    dxdy0 = jnp.concatenate([dxdy0_ref[:]] * g, axis=-1)
+    h_init = jnp.concatenate([h0_ref[:]] * g, axis=-1)
+
+    def h_at(t):  # h_t for t in [-1, T-1]
+        if t < 0:
+            return h_init
+        return hc[:, t * 2 * gh : t * 2 * gh + gh]
+
+    def c_at(t):
+        if t < 0:
+            return jnp.zeros((t_rows, gh), f32)
+        return hc[:, t * 2 * gh + gh : (t + 1) * 2 * gh]
+
+    def xy_at(t):  # xy_t for t in [-1, T-1]
+        if t < 0:
+            return xy0
+        return out[:, t * 2 * g2 : t * 2 * g2 + g2]
+
+    def nd_at(t):
+        if t < 0:
+            return dxdy0
+        return out[:, t * 2 * g2 + g2 : (t + 1) * 2 * g2]
+
+    dh_carry = jnp.zeros((t_rows, gh), f32)
+    dc_carry = jnp.zeros((t_rows, gh), f32)
+    dxy_carry = jnp.zeros((t_rows, g2), f32)
+    dnd_from_next = jnp.zeros((t_rows, g2), f32)
+    dsocb = jnp.zeros_like(socb)
+    dwemb = jnp.zeros_like(wemb)
+    dwhh = jnp.zeros_like(whh)
+    db = jnp.zeros((1, 4 * gh), f32)
+    dw1 = jnp.zeros_like(w1)
+    dw2 = jnp.zeros_like(w2)
+    db2 = jnp.zeros((1, g2), f32)
+
+    dotT_b = lambda a, w: jax.lax.dot_general(  # a @ w.T
+        a, w, (((1,), (1,)), ((), ())), preferred_element_type=f32
+    )
+    dotT_a = lambda a, bb: jax.lax.dot_general(  # a.T @ bb
+        a, bb, (((0,), (0,)), ((), ())), preferred_element_type=f32
+    )
+
+    for t in range(pred_len - 1, -1, -1):
+        g_xy = gout[:, t * 2 * g2 : t * 2 * g2 + g2]
+        g_nd = gout[:, t * 2 * g2 + g2 : (t + 1) * 2 * g2]
+        h_t, c_t = h_at(t), c_at(t)
+        h_prev, c_prev = h_at(t - 1), c_at(t - 1)
+        te = _make_te(xy_at(t - 1), nd_at(t - 1), g, inp_format)
+
+        dxy_t = g_xy + dxy_carry
+        dnd = g_nd + dxy_t + dnd_from_next
+
+        # hidden2pos backward (pre-activation recomputed)
+        pre1 = jnp.dot(h_t, w1, preferred_element_type=f32) + socb
+        hid = jnp.where(pre1 > 0, pre1, 0.01 * pre1)
+        dhid = dotT_b(dnd, w2)
+        dpre1 = jnp.where(pre1 > 0, dhid, 0.01 * dhid)
+        dw2 = dw2 + dotT_a(hid, dnd)
+        db2 = db2 + jnp.sum(dnd, axis=0, keepdims=True)
+        dh_total = dotT_b(dpre1, w1) + dh_carry
+        dw1 = dw1 + dotT_a(h_t, dpre1)
+        dsocb = dsocb + dpre1
+
+        # LSTM backward, gates recomputed
+        gates = (
+            jnp.dot(te, wemb, preferred_element_type=f32)
+            + jnp.dot(h_prev, whh, preferred_element_type=f32)
+            + b
+        )
+        i = jax.nn.sigmoid(gates[:, :gh])
+        f = jax.nn.sigmoid(gates[:, gh : 2 * gh])
+        gg = jnp.tanh(gates[:, 2 * gh : 3 * gh])
+        o = jax.nn.sigmoid(gates[:, 3 * gh :])
+        tanh_c = jnp.tanh(c_t)
+        do = dh_total * tanh_c
+        dc_t = dc_carry + dh_total * o * (1.0 - tanh_c * tanh_c)
+        di = dc_t * gg
+        dg = dc_t * i
+        df = dc_t * c_prev
+        dc_carry = dc_t * f
+        dgates = jnp.concatenate(
+            [
+                di * i * (1.0 - i),
+                df * f * (1.0 - f),
+                dg * (1.0 - gg * gg),
+                do * o * (1.0 - o),
+            ],
+            axis=-1,
+        )
+        dte = dotT_b(dgates, wemb)  # (T, G*in)
+        dh_carry = dotT_b(dgates, whh)
+        dwemb = dwemb + dotT_a(te, dgates)
+        dwhh = dwhh + dotT_a(h_prev, dgates)
+        db = db + jnp.sum(dgates, axis=0, keepdims=True)
+
+        if inp_format == "rel":
+            dnd_from_next = dte
+            dxy_carry = dxy_t
+        elif inp_format == "abs":
+            dxy_carry = dxy_t + dte
+            dnd_from_next = jnp.zeros_like(dnd_from_next)
+        else:  # abs_rel: per-gen blocks [x y dx dy]
+            dte_xy = jnp.concatenate(
+                [dte[:, 4 * k : 4 * k + 2] for k in range(g)], axis=-1
+            )
+            dte_nd = jnp.concatenate(
+                [dte[:, 4 * k + 2 : 4 * k + 4] for k in range(g)], axis=-1
+            )
+            dxy_carry = dxy_t + dte_xy
+            dnd_from_next = dte_nd
+
+    dh0_ref[:] = _sum_gen_blocks(dh_carry, g, h_dim)
+    dxy0_ref[:] = _sum_gen_blocks(dxy_carry, g, 2)
+    ddxdy0_ref[:] = _sum_gen_blocks(dnd_from_next, g, 2)
+    dsocb_ref[:] = dsocb
+    dwemb_ref[:] += dwemb
+    dwhh_ref[:] += dwhh
+    db_ref[:] += db
+    dw1_ref[:] += dw1
+    dw2_ref[:] += dw2
+    db2_ref[:] += db2
+
+
+def _decode_bwd(packed, last_xy, last_dxdy, h0, out2d, hc, gout2d,
+                pred_len, inp_format, interpret=False):
+    w_emb, w_hh, b, w1, w2, b2, socb = packed
+    n, h_dim = h0.shape
+    gh = w_hh.shape[0]
+    num_gens = gh // h_dim
+    tile = TRAIN_ROW_TILE
+
+    h0p = _pad_rows(h0, tile)
+    xyp = _pad_rows(last_xy, tile)
+    dxdyp = _pad_rows(last_dxdy, tile)
+    socbp = _pad_rows(socb, tile)
+    goutp = _pad_rows(gout2d, tile)
+    n_padded = h0p.shape[0]
+    assert out2d.shape[0] == n_padded and hc.shape[0] == n_padded
+
+    kernel = functools.partial(
+        _bwd_kernel,
+        num_gens=num_gens, pred_len=pred_len, inp_format=inp_format,
+        h_dim=h_dim,
+    )
+    grid = (n_padded // tile,)
+    ghid = socb.shape[1]
+    g2 = num_gens * 2
+    out_cols = pred_len * 2 * g2
+    wspec = lambda a: pl.BlockSpec(
+        a.shape, lambda i: (0,) * a.ndim, memory_space=pltpu.VMEM
+    )
+    accspec = lambda shape: pl.BlockSpec(
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    rowspec = lambda cols: pl.BlockSpec(
+        (tile, cols), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    f32 = jnp.float32
+    out_shapes = [
+        jax.ShapeDtypeStruct((n_padded, h_dim), f32),   # dh0
+        jax.ShapeDtypeStruct((n_padded, 2), f32),       # dxy0
+        jax.ShapeDtypeStruct((n_padded, 2), f32),       # ddxdy0
+        jax.ShapeDtypeStruct((n_padded, ghid), f32),    # dsocb
+        jax.ShapeDtypeStruct(w_emb.shape, f32),
+        jax.ShapeDtypeStruct(w_hh.shape, f32),
+        jax.ShapeDtypeStruct((1, 4 * gh), f32),
+        jax.ShapeDtypeStruct(w1.shape, f32),
+        jax.ShapeDtypeStruct(w2.shape, f32),
+        jax.ShapeDtypeStruct((1, g2), f32),
+    ]
+    out_specs = [
+        rowspec(h_dim), rowspec(2), rowspec(2), rowspec(ghid),
+        accspec(w_emb.shape), accspec(w_hh.shape), accspec((1, 4 * gh)),
+        accspec(w1.shape), accspec(w2.shape), accspec((1, g2)),
+    ]
+    res = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            wspec(w_emb), wspec(w_hh), wspec(b), wspec(w1), wspec(w2),
+            rowspec(h_dim), rowspec(ghid), rowspec(2), rowspec(2),
+            rowspec(out_cols), rowspec(pred_len * 2 * gh), rowspec(out_cols),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret or INTERPRET,
+    )(w_emb, w_hh, b, w1, w2, h0p, socbp, xyp, dxdyp, out2d, hc, goutp)
+    (dh0, dxy0, ddxdy0, dsocb, dwemb, dwhh, db, dw1, dw2, db2) = res
+    return (
+        dwemb, dwhh, db.reshape(-1), dw1, dw2, db2.reshape(-1),
+        dsocb[:n], dh0[:n], dxy0[:n], ddxdy0[:n],
+    )
+
+
+# ------------------------------------------------------------ public API --
+def _decode_impl(stacked, last_xy, last_dxdy, social_feats, h0, pred_len,
+                 inp_format, compute_dtype=None, interpret=False):
+    packed = _pack_all(stacked, social_feats, inp_format)
+    out2d, _ = _decode_fwd(
+        packed, last_xy, last_dxdy, h0, pred_len, inp_format,
+        save_hc=False, compute_dtype=compute_dtype, interpret=interpret,
+    )
+    num_gens = packed[1].shape[0] // h0.shape[1]
+    return _reshape_out(out2d, h0.shape[0], num_gens, pred_len)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
@@ -223,36 +505,55 @@ def pallas_decode_all(stacked, last_xy, last_dxdy, social_feats, h0,
                       pred_len, inp_format):
     """Drop-in replacement for ``stacked_decoders_apply``.
 
-    Forward runs the fused Pallas kernel; backward recomputes through the
-    XLA scan path (models/common.py::stacked_decoders_apply), so the op is
-    differentiable. Returns (abs, rel): each (G, N, pred_len, 2).
+    Forward runs the fused Pallas kernel; under ``jax.grad`` the backward
+    runs the fused reverse-sweep kernel (weight grads chained to the
+    stacked params via the packing VJP). Returns (abs, rel): each
+    (G, N, pred_len, 2).
     """
     return _decode_impl(stacked, last_xy, last_dxdy, social_feats, h0,
                         pred_len, inp_format)
 
 
-def _fwd(stacked, last_xy, last_dxdy, social_feats, h0, pred_len, inp_format):
-    out = pallas_decode_all(stacked, last_xy, last_dxdy, social_feats, h0,
-                            pred_len, inp_format)
-    return out, (stacked, last_xy, last_dxdy, social_feats, h0)
-
-
-def _bwd(pred_len, inp_format, residuals, g):
-    from mggan_tpu.models.common import stacked_decoders_apply
-
-    stacked, last_xy, last_dxdy, social_feats, h0 = residuals
-    _, vjp = jax.vjp(
-        lambda *a: stacked_decoders_apply(*a, pred_len, inp_format),
-        stacked, last_xy, last_dxdy, social_feats, h0,
+def _vjp_fwd(stacked, last_xy, last_dxdy, social_feats, h0, pred_len,
+             inp_format):
+    packed = _pack_all(stacked, social_feats, inp_format)
+    out2d, hc = _decode_fwd(
+        packed, last_xy, last_dxdy, h0, pred_len, inp_format, save_hc=True
     )
-    return vjp(g)
+    num_gens = packed[1].shape[0] // h0.shape[1]
+    out = _reshape_out(out2d, h0.shape[0], num_gens, pred_len)
+    res = (stacked, last_xy, last_dxdy, social_feats, h0, out2d, hc)
+    return out, res
 
 
-pallas_decode_all.defvjp(_fwd, _bwd)
+def _vjp_bwd(pred_len, inp_format, res, g):
+    stacked, last_xy, last_dxdy, social_feats, h0, out2d, hc = res
+    g_abs, g_rel = g
+    num_gens, n = g_abs.shape[0], g_abs.shape[1]
+    # cotangents -> the kernel's (N, T*[xy, nd]) layout
+    gout = jnp.concatenate(
+        [
+            jnp.moveaxis(g_abs, 0, 2).reshape(n, pred_len, num_gens * 2),
+            jnp.moveaxis(g_rel, 0, 2).reshape(n, pred_len, num_gens * 2),
+        ],
+        axis=-1,
+    ).reshape(n, pred_len * 4 * num_gens)
+
+    packed, pack_vjp = jax.vjp(
+        lambda st, sf: _pack_all(st, sf, inp_format), stacked, social_feats
+    )
+    (dwemb, dwhh, db, dw1, dw2, db2, dsocb, dh0, dxy0, ddxdy0) = _decode_bwd(
+        packed, last_xy, last_dxdy, h0, out2d, hc, gout, pred_len, inp_format
+    )
+    dstacked, dsoc = pack_vjp((dwemb, dwhh, db, dw1, dw2, db2, dsocb))
+    return dstacked, dxy0, ddxdy0, dsoc, dh0
+
+
+pallas_decode_all.defvjp(_vjp_fwd, _vjp_bwd)
 
 
 def pallas_decode_all_interpret(stacked, last_xy, last_dxdy, social_feats,
                                 h0, pred_len, inp_format):
-    """Interpreter-mode twin for CPU tests."""
+    """Interpreter-mode twin for CPU tests (forward only)."""
     return _decode_impl(stacked, last_xy, last_dxdy, social_feats, h0,
                         pred_len, inp_format, interpret=True)

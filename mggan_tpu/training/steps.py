@@ -77,10 +77,10 @@ def _g_forward_sampled(g_params, g_state, g_spec, config, bv: BatchViews, rng,
     """Encode + PM-sample + decode-all + gather (the reference's
     ``all_gen_out=False`` path, standard.py:186-214).
 
-    ``needs_decoder_grad``: True only where the caller differentiates
-    through the rollout (the G-step). Everywhere else the decode may take
-    the fused Pallas forward, whose custom VJP would otherwise recompute
-    through the scan.
+    ``needs_decoder_grad`` is accepted for call-site documentation but no
+    longer gates the kernel: the Pallas decoder has a fused reverse-sweep
+    backward (ops/pallas/decoder.py::_bwd_kernel, 3.5x the XLA scan's
+    fwd+bwd on the flagship train shape), so every path uses it.
 
     Returns (pred GeneratorOutput (K,S,P,T,2), logits (S,P,G),
     gen_idxs (S,P,K), noise (K,S,P,z), new_g_state).
@@ -96,7 +96,7 @@ def _g_forward_sampled(g_params, g_state, g_spec, config, bv: BatchViews, rng,
     noise = sampling.global_noise(k_noise, num_samples, s, p, config.noise_dim)
     out_all = G_mod.decode_all(
         g_params, g_spec, bv.in_xy[:, :, -1], bv.in_dxdy[:, :, -1],
-        enc_h, social_feats, noise, use_pallas=not needs_decoder_grad,
+        enc_h, social_feats, noise,
     )
     pred_abs = sampling.gather_samples(out_all.abs, gen_idxs)
     pred_rel = sampling.gather_samples(out_all.rel, gen_idxs)
