@@ -162,7 +162,10 @@ class Trainer:
                 for k, v in step_metrics.items():
                     metrics[k].append(v)
                 n_steps += 1
-            jax.block_until_ready(self.state.step)
+            if step_metrics:
+                # fetch a VALUE: through remote-TPU tunnels
+                # block_until_ready alone does not fence execution
+                float(next(iter(step_metrics.values())))
             epoch_dt = _time.perf_counter() - epoch_t0
             metrics["perf/steps_per_sec"].append(n_steps / max(epoch_dt, 1e-9))
             metrics["perf/agents_per_sec"].append(
