@@ -101,6 +101,9 @@ class Config:
     dp: int = 1
     # Generator-parallel shard count over the stacked-decoder axis.
     gp: int = 1
+    # Multi-slice (DCN) shard count: scenes shard over (slice, data);
+    # cross-slice gradient all-reduce rides DCN (parallel/mesh.py).
+    slices: int = 1
     seed: int = 145325
     # Where dataset files live (reference hardcodes ./data/datasets/<name>).
     data_root: str = "./data/datasets"
@@ -207,6 +210,7 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_peds", type=int, default=d.max_peds)
     p.add_argument("--dp", type=int, default=d.dp)
     p.add_argument("--gp", type=int, default=d.gp)
+    p.add_argument("--slices", type=int, default=d.slices)
     p.add_argument("--seed", type=int, default=d.seed)
     p.add_argument("--data_root", type=str, default=d.data_root)
     p.add_argument("--split_step", type=int, default=d.split_step)

@@ -98,18 +98,56 @@ def finish_patches(big_patches, flip, alpha):
     Applies flip/rotation per scene, normalises to [-1, 1)
     (BaseTrajectories.py:283: ``-1 + raw * 2/256``) and appends the one-hot
     centre position channel (BaseTrajectories.py:278-284).
+
+    TPU implementation: bilinear sampling factors per output pixel o into
+    separable tap weights ``w = relu(1-|sx_o-ix|) * relu(1-|sy_o-iy|)``
+    (identical to ``map_coordinates(order=1, mode="constant", cval=0)``),
+    so the whole resample becomes one MXU contraction over source columns
+    plus a weighted reduce over source rows — shared per scene across peds
+    and channels. The per-ped ``map_coordinates`` gathers this replaces
+    were ~900 ms/batch on v5e; this is ~milliseconds. The einsum is chunked
+    over scenes to cap the (Sc, P, O, 49, 3) intermediate.
     """
     s, p = big_patches.shape[:2]
+
+    # per-scene source coordinates for each of the O=33*33 output pixels
+    # (same inverse-rotation + flip convention as the trajectories)
+    pcoord = jnp.arange(PATCH, dtype=jnp.float32) - MARGIN
+    px, py = jnp.meshgrid(pcoord, pcoord, indexing="xy")
+    px, py = px.ravel(), py.ravel()  # (O,), o = y*33 + x
+    ca, sa = jnp.cos(alpha), jnp.sin(alpha)
+    qx = px[None] * ca[:, None] - py[None] * sa[:, None]
+    qy = px[None] * sa[:, None] + py[None] * ca[:, None]
+    qx = jnp.where(flip[:, None] == 1, -qx, qx)
+    qy = jnp.where(flip[:, None] == 2, -qy, qy)
+    sx = BIG_MARGIN + qx  # (S, O) source columns
+    sy = BIG_MARGIN + qy  # (S, O) source rows
+
+    grid = jnp.arange(2 * BIG_MARGIN + 1, dtype=jnp.float32)
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(sx[:, :, None] - grid[None, None]))
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(sy[:, :, None] - grid[None, None]))
+
     big = big_patches.astype(jnp.float32)
-    flat = big.reshape((s * p,) + big.shape[2:])
-    flip_f = jnp.repeat(flip, p)
-    alpha_f = jnp.repeat(alpha, p)
-    rgb = jax.vmap(_sample_patch)(flat, flip_f, alpha_f)
+
+    def resample(args):
+        bigc, wxc, wyc = args
+        # contract source columns on the MXU, then weighted-reduce rows
+        tmp = jnp.einsum("spyxc,sox->spoyc", bigc, wxc)
+        return jnp.sum(tmp * wyc[:, None, :, :, None], axis=3)  # (Sc,P,O,C)
+
+    chunk = 32
+    if s % chunk == 0 and s > chunk:
+        rs = lambda x: x.reshape((s // chunk, chunk) + x.shape[1:])
+        rgb = jax.lax.map(resample, (rs(big), rs(wx), rs(wy)))
+        rgb = rgb.reshape(s, p, PATCH * PATCH, 3)
+    else:
+        rgb = resample((big, wx, wy))
+    rgb = rgb.reshape(s, p, PATCH, PATCH, 3)
     rgb = -1.0 + rgb * 2.0 / 256.0
-    pos = jnp.zeros((s * p, PATCH, PATCH, 1), jnp.float32)
-    pos = pos.at[:, MARGIN, MARGIN, 0].set(1.0)
-    out = jnp.concatenate([rgb, pos], axis=-1)
-    return out.reshape(s, p, PATCH, PATCH, 4)
+
+    pos = jnp.zeros((s, p, PATCH, PATCH, 1), jnp.float32)
+    pos = pos.at[:, :, MARGIN, MARGIN, 0].set(1.0)
+    return jnp.concatenate([rgb, pos], axis=-1)
 
 
 def sample_aug_params(rng, s):
@@ -121,6 +159,21 @@ def sample_aug_params(rng, s):
     return flip, alpha
 
 
+def identity_patches(big_patches):
+    """Identity-transform finishing: the 33x33 window is a pure centre
+    crop of the 49x49 big patch (zero rotation -> integer source coords,
+    bilinear weight 1), normalised + centre channel like finish_patches."""
+    s, p = big_patches.shape[:2]
+    off = BIG_MARGIN - MARGIN
+    rgb = big_patches[:, :, off : off + PATCH, off : off + PATCH].astype(
+        jnp.float32
+    )
+    rgb = -1.0 + rgb * 2.0 / 256.0
+    pos = jnp.zeros((s, p, PATCH, PATCH, 1), jnp.float32)
+    pos = pos.at[:, :, MARGIN, MARGIN, 0].set(1.0)
+    return jnp.concatenate([rgb, pos], axis=-1)
+
+
 def augment_batch(rng, batch, train: bool):
     """Produce augmented trajectories + finished model patches for a batch.
 
@@ -128,16 +181,17 @@ def augment_batch(rng, batch, train: bool):
     wh_m (S,2).  Identity transform when ``train`` is False.
     """
     s = batch["xy"].shape[0]
+    out = dict(batch)
+    has_patches = "big_patches" in batch and batch["big_patches"] is not None
     if train:
         flip, alpha = sample_aug_params(rng, s)
-        xy = augment_trajectories(batch["xy"], batch["wh_m"], flip, alpha)
+        out["xy"] = augment_trajectories(batch["xy"], batch["wh_m"], flip, alpha)
+        if has_patches:
+            out["patches"] = finish_patches(batch["big_patches"], flip, alpha)
     else:
-        flip = jnp.zeros((s,), jnp.int32)
-        alpha = jnp.zeros((s,), jnp.float32)
-        xy = batch["xy"]
-    out = dict(batch)
-    out["xy"] = xy
-    if "big_patches" in batch and batch["big_patches"] is not None:
-        out["patches"] = finish_patches(batch["big_patches"], flip, alpha)
+        out["xy"] = batch["xy"]
+        if has_patches:
+            out["patches"] = identity_patches(batch["big_patches"])
+    if has_patches:
         out.pop("big_patches")
     return out

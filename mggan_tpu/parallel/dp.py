@@ -66,5 +66,7 @@ def shard_batch(mesh, batch):
     masked scenes are appended first. All batches of an epoch therefore
     share one padded shape -> one compiled program.
     """
-    batch = pad_scenes_to_multiple(batch, mesh.shape["data"])
+    from mggan_tpu.parallel.mesh import data_shard_count
+
+    batch = pad_scenes_to_multiple(batch, data_shard_count(mesh))
     return jax.device_put(batch, batch_shardings(mesh, batch))

@@ -25,18 +25,34 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax.tree_util import DictKey, GetAttrKey, tree_map_with_path
 
 
-def make_mesh(dp: int | None = None, gp: int = 1, devices=None) -> Mesh:
+def make_mesh(dp: int | None = None, gp: int = 1, slices: int = 1,
+              devices=None) -> Mesh:
+    """(slice, data, model) mesh.
+
+    ``slices`` is the DCN axis for multi-slice pods: scenes shard over
+    (slice, data) jointly, parameters replicate across slices, and GSPMD's
+    gradient psum over the combined axes becomes an ICI reduce-scatter
+    within each slice plus one cross-slice all-reduce over DCN — scenes
+    stay atomic within a shard either way. On a single slice the axis has
+    size 1 and is free. For real multi-slice hardware pass ``devices`` from
+    ``mesh_utils.create_hybrid_device_mesh`` so the slice axis follows the
+    DCN topology.
+    """
     devices = list(devices if devices is not None else jax.devices())
     if dp is None:
-        dp = len(devices) // gp
-    assert dp * gp <= len(devices), (dp, gp, len(devices))
-    arr = np.array(devices[: dp * gp]).reshape(dp, gp)
-    return Mesh(arr, ("data", "model"))
+        dp = len(devices) // (gp * slices)
+    assert slices * dp * gp <= len(devices), (slices, dp, gp, len(devices))
+    arr = np.array(devices[: slices * dp * gp]).reshape(slices, dp, gp)
+    return Mesh(arr, ("slice", "data", "model"))
+
+
+def data_shard_count(mesh: Mesh) -> int:
+    return mesh.shape["slice"] * mesh.shape["data"]
 
 
 def batch_sharding(mesh: Mesh):
-    """Scene axis sharded over data; everything else replicated."""
-    return NamedSharding(mesh, P("data"))
+    """Scene axis sharded over (slice, data); everything else replicated."""
+    return NamedSharding(mesh, P(("slice", "data")))
 
 
 def batch_shardings(mesh: Mesh, batch_tree):

@@ -45,13 +45,14 @@ class Trainer:
         self.g_spec, self.d_spec = self.g_pack[2], self.d_pack[2]
         self.state = init_train_state(config, self.g_pack, self.d_pack, k_state)
         self._mesh = None
-        if config.dp * config.gp > 1:
+        slices = getattr(config, "slices", 1)
+        if config.dp * config.gp * slices > 1:
             assert not getattr(config, "split_step", 0), (
                 "--split_step and --dp/--gp are mutually exclusive for now"
             )
             from mggan_tpu.parallel.mesh import make_mesh
 
-            self._mesh = make_mesh(dp=config.dp, gp=config.gp)
+            self._mesh = make_mesh(dp=config.dp, gp=config.gp, slices=slices)
             self.train_step = None  # built on the first batch (needs shapes)
         elif getattr(config, "split_step", 0):
             self.train_step = build_split_train_step(

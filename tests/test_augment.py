@@ -95,3 +95,49 @@ def test_patch_flip_lr():
     )[0, 0, :, :, 0]
     r, c = np.unravel_index(np.argmax(out), out.shape)
     assert (r, c) == (MARGIN, MARGIN - 6)
+
+
+def test_finish_patches_matches_map_coordinates_oracle():
+    """The separable-matmul bilinear resample equals the per-ped
+    map_coordinates formulation (augment.py::_sample_patch) exactly."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from mggan_tpu.data import augment as aug
+
+    rng = np.random.RandomState(3)
+    s, p = 5, 3
+    big = jnp.asarray(rng.randint(0, 255, (s, p, 49, 49, 3), np.uint8))
+    flip = jnp.asarray(rng.randint(0, 3, (s,)))
+    alpha = jnp.asarray(rng.uniform(0, 2 * np.pi, (s,)).astype(np.float32))
+
+    out = aug.finish_patches(big, flip, alpha)
+
+    flat = big.astype(jnp.float32).reshape(s * p, 49, 49, 3)
+    rgb_ref = jax.vmap(aug._sample_patch)(
+        flat, jnp.repeat(flip, p), jnp.repeat(alpha, p)
+    )
+    rgb_ref = (-1.0 + rgb_ref * 2.0 / 256.0).reshape(s, p, 33, 33, 3)
+    np.testing.assert_allclose(
+        np.asarray(out[..., :3]), np.asarray(rgb_ref), atol=2e-4
+    )
+    # one-hot centre channel intact
+    assert float(out[0, 0, 16, 16, 3]) == 1.0
+    assert float(jnp.abs(out[..., 3]).sum()) == s * p
+
+
+def test_identity_patches_equals_zero_transform():
+    """Eval fast path (centre crop) == finish_patches with flip=0, alpha=0."""
+    import jax.numpy as jnp
+    import numpy as np
+    from mggan_tpu.data import augment as aug
+
+    rng = np.random.RandomState(7)
+    big = jnp.asarray(rng.randint(0, 255, (3, 2, 49, 49, 3), np.uint8))
+    zero_f = jnp.zeros((3,), jnp.int32)
+    zero_a = jnp.zeros((3,), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(aug.identity_patches(big)),
+        np.asarray(aug.finish_patches(big, zero_f, zero_a)),
+        atol=1e-5,
+    )

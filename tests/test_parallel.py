@@ -132,3 +132,21 @@ def test_trainer_dp_cli_path(tmp_path):
                               config=cfg, tensorboard=False)
     tr = Trainer(cfg, writer).train()
     assert int(tr.state.step) > 0
+
+
+def test_multislice_mesh_matches_single_device():
+    """(slice=2, data=2, model=2) mesh on the 8-device virtual backend:
+    scenes shard over (slice, data), gradients all-reduce across slices
+    (DCN axis on real pods); result equals the single-device step."""
+    cfg, g_pack, d_pack, state, batch = setup(num_gens=4)
+    single_step = build_train_step(cfg, g_pack[2], d_pack[2])
+    s1, m1 = single_step(jax.tree.map(jnp.copy, state), batch)
+
+    mesh = mesh_lib.make_mesh(dp=2, gp=2, slices=2)
+    assert mesh.axis_names == ("slice", "data", "model")
+    assert mesh_lib.data_shard_count(mesh) == 4
+    pstep, pstate = dp.make_parallel_train_step(
+        cfg, g_pack[2], d_pack[2], mesh, state, batch
+    )
+    s2, m2 = pstep(pstate, dp.shard_batch(mesh, batch))
+    assert_steps_match(s1, m1, s2, m2)
