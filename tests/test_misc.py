@@ -170,3 +170,23 @@ def test_plot_scene_window_pyramid(tmp_path):
     except ValueError:
         pass
     plt.close("all")
+
+
+def test_sweep_cli_grid(tmp_path):
+    """Grid-sweep driver: every combination trains into its own version dir
+    (reference: test_tube HyperOptArgumentParser grid_search, config.py:5)."""
+    import json
+    from mggan_tpu.cli import sweep
+
+    sweep.main([
+        "--grid", json.dumps({"num_gens": [1, 2]}),
+        "--dataset", "synthetic_memory", "--epochs", "1",
+        "--batch_size", "4", "--h_dim", "16", "--decoder_h_dim", "16",
+        "--num_samples", "2", "--num_expectation_samples", "1",
+        "--top_k_test", "2", "--name", "sw", "--log_dir", str(tmp_path),
+    ])
+    runs = sorted(p.name for p in (tmp_path / "multi_generator").iterdir())
+    assert runs == ["sw_num_gens=1", "sw_num_gens=2"]
+    for r in runs:
+        vdir = next((tmp_path / "multi_generator" / r).iterdir())
+        assert (vdir / "metrics.jsonl").exists()
