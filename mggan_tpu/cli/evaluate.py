@@ -89,6 +89,7 @@ def main(argv=None):
             dataset, args.phase, batch_size=args.batch_size,
             split=None if split == "all" else split,
             data_root=args.data_root,
+            patch_bank=bool(getattr(config, "patch_bank", 1)),
         )
 
         all_results["Model"].append(config.name)

@@ -231,6 +231,7 @@ class Trainer:
         loader = get_dataloader(
             self.config.dataset, "test", augment=False, batch_size=batch_size,
             data_root=self.config.data_root,
+            patch_bank=bool(self.config.patch_bank) and self._mesh is None,
         )
         return self.check_accuracy(loader, num_k=num_k, **kwargs)
 

@@ -190,3 +190,39 @@ def test_sweep_cli_grid(tmp_path):
     for r in runs:
         vdir = next((tmp_path / "multi_generator" / r).iterdir())
         assert (vdir / "metrics.jsonl").exists()
+
+
+def test_evaluate_cli_end_to_end(tmp_path):
+    """cli.evaluate over a trained version dir: version x strategy sweep,
+    applicability rules, incremental CSV (scripts/evaluate.py:19-169)."""
+    from mggan_tpu.config import Config
+    from mggan_tpu.training.loop import Trainer
+    from mggan_tpu.utils.logging import ExperimentWriter
+    from mggan_tpu.cli import evaluate as ev_cli
+    import pandas as pd
+
+    cfg = Config(
+        dataset="synthetic_memory", num_gens=2, num_samples=2, h_dim=16,
+        decoder_h_dim=16, top_k_test=2, epochs=1, batch_size=4,
+        num_expectation_samples=1, val_every=1, log_dir=str(tmp_path),
+        gan_type="mgan", weighting_target="ml",
+    )
+    writer = ExperimentWriter(tmp_path, cfg.experiment, cfg.name, version=55,
+                              config=cfg, tensorboard=False)
+    Trainer(cfg, writer).train()
+
+    model_path = tmp_path / cfg.experiment / cfg.name
+    out = tmp_path / "results"
+    ev_cli.main([
+        "--model_path", str(model_path), "--output_folder", str(out),
+        "--checkpoint", "best", "--phase", "test", "--num_preds", "3",
+        "--pred_strat", "sampling", "--no-precision-recall",
+        "--batch_size", "4",
+    ])
+    csvs = list(out.glob("*.csv"))
+    assert len(csvs) == 1
+    df = pd.read_csv(csvs[0])
+    assert len(df) == 1  # one version x one strategy
+    assert df["Prediction strategy"][0] == "sampling"
+    for col in ("ADE k=2", "FDE k=2", "Mode k=2"):
+        assert col in df.columns and float(df[col][0]) >= 0
