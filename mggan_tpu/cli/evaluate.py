@@ -31,10 +31,20 @@ def get_arg_parser():
     p.add_argument("--phase", choices=["train", "val", "test"], default="test")
     p.add_argument("--eval_set", default=None)
     p.add_argument("--num_preds", default=20, type=int)
+    # all 7 strategies of the reference dispatch (train.py:553-576)
     p.add_argument(
         "--pred_strat",
         default="all",
-        choices=["all", "sampling", "expected", "smart_expected", "rejection"],
+        choices=[
+            "all",
+            "sampling",
+            "expected",
+            "smart_expected",
+            "rejection",
+            "uniform_expected",
+            "smart_sampling",
+            "uniform_sampling",
+        ],
     )
     p.add_argument("--no-precision-recall", action="store_true")
     p.add_argument("--data_root", default="./data/datasets")

@@ -59,6 +59,7 @@ def get_dataloader(
     data_root="./data/datasets",
     seed=0,
     patch_bank=False,
+    bank_mesh=None,
 ):
     assert phase in ("train", "val", "test")
     if phase in ("val", "test") and augment:
@@ -70,7 +71,7 @@ def get_dataloader(
 
         sizes = [len(t) for t in ds.trajectories]
         resolved_max = max_peds or (max(sizes) if sizes else 1)
-        bank = maybe_build_bank(ds, resolved_max)
+        bank = maybe_build_bank(ds, resolved_max, mesh=bank_mesh)
     return PaddedBatcher(
         ds,
         batch_size=batch_size,

@@ -175,6 +175,13 @@ def build_image_entry(img: np.ndarray, info: registry.DatasetInfo, ratio: float)
         # debug pyramid level (BaseTrajectories.py:104-110); unused by
         # train/eval, consumed by viz.plot_scene_window(image_type="tiny")
         "tiny": down(scaled, info.scaling_tiny),
+        # meters-per-pixel of each level, for world->pixel registration in
+        # viz.plot_scene_window (img_scaling is per-dataset, NOT always 0.05)
+        "m_per_px": {
+            "scaled": info.img_scaling,
+            "small": info.scaling_small,
+            "tiny": info.scaling_tiny,
+        },
     }
 
 

@@ -15,14 +15,27 @@ overlaps the train step.
 
 from __future__ import annotations
 
+import weakref
+
 import numpy as np
 
 from mggan_tpu.data.dataset import BIG_PATCH, SceneDataset
 
-# Default HBM budget for a bank. A v5e chip has 16 GiB; the flagship model
-# is tiny, so half the chip is a safe ceiling. Larger splits fall back to
-# host-side assembly (PaddedBatcher include_patches=True).
+# Combined HBM budget across ALL live banks (a v5e chip has 16 GiB; the
+# flagship model is tiny, so half the chip is a safe ceiling). The Trainer
+# keeps train+val banks resident simultaneously and test() adds a third, so
+# the budget is enforced globally: a split that would push the combined
+# total past the ceiling falls back to host-side assembly
+# (PaddedBatcher include_patches=True).
 DEFAULT_MAX_BYTES = 8 << 30
+
+_LIVE_BANKS = weakref.WeakSet()
+
+
+def live_bank_bytes() -> int:
+    """Bytes currently held in device HBM by live banks (per device; a
+    mesh-replicated bank holds one copy per device)."""
+    return sum(b.nbytes for b in _LIVE_BANKS)
 
 
 def bank_nbytes(num_windows: int, max_peds: int) -> int:
@@ -37,7 +50,8 @@ class DevicePatchBank:
     rows and ``window_idx == -1`` pad scenes are zero).
     """
 
-    def __init__(self, ds: SceneDataset, max_peds: int, device=None):
+    def __init__(self, ds: SceneDataset, max_peds: int, device=None,
+                 mesh=None):
         import jax
         import jax.numpy as jnp
 
@@ -49,9 +63,17 @@ class DevicePatchBank:
         # dynamic-slices (~5 ms/batch on v5e through the tunnel), while the
         # same take on the 5D layout is ~40x slower.
         arr = jnp.asarray(dense.reshape(n, -1))
-        if device is not None:
+        if mesh is not None:
+            # Replicate across the mesh so gathers run on every device and
+            # the downstream shard_batch relayout is a local slice, not a
+            # host round-trip (the DP feed keeps the bank's batch rate).
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            arr = jax.device_put(arr, NamedSharding(mesh, PartitionSpec()))
+        elif device is not None:
             arr = jax.device_put(arr, device)
         self.arr = arr
+        self.nbytes = int(arr.nbytes)
         self.max_peds = max_peds
 
         @jax.jit
@@ -75,11 +97,15 @@ def maybe_build_bank(
     max_peds: int,
     enabled: bool = True,
     max_bytes: int = DEFAULT_MAX_BYTES,
+    mesh=None,
 ):
-    """Build a bank when enabled, patches exist, and the split fits the HBM
-    budget; otherwise None (callers keep the host assembly path)."""
+    """Build a bank when enabled, patches exist, and the split fits the
+    remaining global HBM budget; otherwise None (callers keep the host
+    assembly path)."""
     if not enabled or ds.big_patches is None:
         return None
-    if bank_nbytes(len(ds.trajectories), max_peds) > max_bytes:
+    if bank_nbytes(len(ds.trajectories), max_peds) + live_bank_bytes() > max_bytes:
         return None
-    return DevicePatchBank(ds, max_peds)
+    bank = DevicePatchBank(ds, max_peds, mesh=mesh)
+    _LIVE_BANKS.add(bank)
+    return bank

@@ -34,7 +34,9 @@ def build_specs(config: Config):
         use_pallas=(
             bool(getattr(config, "pallas_decoder", 1))
             and not discrete
-            and config.dp * config.gp == 1
+            # The fused kernel has no GSPMD partitioning rule: single-chip
+            # only (any mesh axis > 1 -> XLA scan path).
+            and config.dp * config.gp * getattr(config, "slices", 1) == 1
         ),
     )
     d_spec = discriminator.DiscriminatorSpec(

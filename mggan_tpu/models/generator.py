@@ -218,7 +218,7 @@ def decode_all(params, spec: GeneratorSpec, last_xy, last_dxdy, enc_h,
 
             abs_g, rel_g = pallas_decode_all(
                 params["decoders"], xy_b, dxdy_b, social_b, h0,
-                spec.pred_len, spec.inp_format,
+                spec.pred_len, spec.inp_format, compute_dtype,
             )
         else:
             abs_g, rel_g = common.stacked_decoders_apply(

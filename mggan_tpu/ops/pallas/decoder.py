@@ -500,25 +500,31 @@ def _decode_impl(stacked, last_xy, last_dxdy, social_feats, h0, pred_len,
     return _reshape_out(out2d, h0.shape[0], num_gens, pred_len)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def pallas_decode_all(stacked, last_xy, last_dxdy, social_feats, h0,
-                      pred_len, inp_format):
+                      pred_len, inp_format, compute_dtype=None):
     """Drop-in replacement for ``stacked_decoders_apply``.
 
     Forward runs the fused Pallas kernel; under ``jax.grad`` the backward
     runs the fused reverse-sweep kernel (weight grads chained to the
     stacked params via the packing VJP). Returns (abs, rel): each
     (G, N, pred_len, 2).
+
+    ``compute_dtype`` (e.g. jnp.bfloat16) casts the gate/output matmul
+    operands; accumulation stays f32. The train-path backward recomputes
+    activations in f32 regardless (the bf16-forward gradient mismatch is
+    below the noise of GAN training; inference is the intended user).
     """
     return _decode_impl(stacked, last_xy, last_dxdy, social_feats, h0,
-                        pred_len, inp_format)
+                        pred_len, inp_format, compute_dtype=compute_dtype)
 
 
 def _vjp_fwd(stacked, last_xy, last_dxdy, social_feats, h0, pred_len,
-             inp_format):
+             inp_format, compute_dtype):
     packed = _pack_all(stacked, social_feats, inp_format)
     out2d, hc = _decode_fwd(
-        packed, last_xy, last_dxdy, h0, pred_len, inp_format, save_hc=True
+        packed, last_xy, last_dxdy, h0, pred_len, inp_format, save_hc=True,
+        compute_dtype=compute_dtype,
     )
     num_gens = packed[1].shape[0] // h0.shape[1]
     out = _reshape_out(out2d, h0.shape[0], num_gens, pred_len)
@@ -526,7 +532,7 @@ def _vjp_fwd(stacked, last_xy, last_dxdy, social_feats, h0, pred_len,
     return out, res
 
 
-def _vjp_bwd(pred_len, inp_format, res, g):
+def _vjp_bwd(pred_len, inp_format, compute_dtype, res, g):
     stacked, last_xy, last_dxdy, social_feats, h0, out2d, hc = res
     g_abs, g_rel = g
     num_gens, n = g_abs.shape[0], g_abs.shape[1]

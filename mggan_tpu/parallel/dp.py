@@ -28,10 +28,17 @@ def pad_scenes_to_multiple(batch, multiple: int):
     if rem == 0:
         return batch
 
-    def pad(x):
+    def pad(x, fill=0):
         widths = [(0, rem)] + [(0, 0)] * (x.ndim - 1)
-        return jnp.pad(jnp.asarray(x), widths)
+        return jnp.pad(jnp.asarray(x), widths, constant_values=fill)
 
+    if isinstance(batch, dict):
+        # window_idx uses -1 as the "empty scene" sentinel (batcher.py);
+        # zero-padding would alias window 0.
+        return {
+            k: pad(v, fill=-1 if k == "window_idx" else 0)
+            for k, v in batch.items()
+        }
     return jax.tree.map(pad, batch)
 
 

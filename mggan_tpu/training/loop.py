@@ -108,18 +108,19 @@ class Trainer:
     def train(self):
         cfg = self.config
         mp = cfg.max_peds or None
-        # Device-resident patch gathers land on the default device; the mesh
-        # path re-lays batches out itself, so keep host assembly there.
-        bank = bool(cfg.patch_bank) and self._mesh is None
+        # On a mesh the bank is replicated across devices so batch gathers
+        # run device-side there too (shard_batch then does a local slice).
+        bank = bool(cfg.patch_bank)
         train_loader = get_dataloader(
             cfg.dataset, "train", augment=bool(cfg.augment),
             batch_size=cfg.batch_size, shuffle=True, max_peds=mp,
             data_root=cfg.data_root, seed=cfg.seed, patch_bank=bank,
+            bank_mesh=self._mesh,
         )
         val_loader = get_dataloader(
             cfg.dataset, "val", augment=False, batch_size=cfg.batch_size,
             shuffle=False, max_peds=mp, data_root=cfg.data_root,
-            patch_bank=bank,
+            patch_bank=bank, bank_mesh=self._mesh,
         )
         track_metric = f"val/ADE k={cfg.top_k_test}"
         best = math.inf
@@ -135,7 +136,9 @@ class Trainer:
 
             epoch_t0 = _time.perf_counter()
             n_steps = 0
+            n_real_agents = 0
             for batch in Prefetcher(train_loader):
+                n_real_agents += int(np.asarray(batch["ped_mask"]).sum())
                 model_batch = self._device_batch(batch, train=bool(cfg.augment))
                 if self._mesh is not None:
                     from mggan_tpu.parallel import dp as dp_mod
@@ -169,7 +172,12 @@ class Trainer:
                 float(next(iter(step_metrics.values())))
             epoch_dt = _time.perf_counter() - epoch_t0
             metrics["perf/steps_per_sec"].append(n_steps / max(epoch_dt, 1e-9))
+            # Real (mask-counted) agents; the padded rate counts every
+            # (scene, ped) slot the compiled step processes.
             metrics["perf/agents_per_sec"].append(
+                n_real_agents / max(epoch_dt, 1e-9)
+            )
+            metrics["perf/padded_agents_per_sec"].append(
                 n_steps * cfg.batch_size * train_loader.max_peds / max(epoch_dt, 1e-9)
             )
 
@@ -231,7 +239,7 @@ class Trainer:
         loader = get_dataloader(
             self.config.dataset, "test", augment=False, batch_size=batch_size,
             data_root=self.config.data_root,
-            patch_bank=bool(self.config.patch_bank) and self._mesh is None,
+            patch_bank=bool(self.config.patch_bank), bank_mesh=self._mesh,
         )
         return self.check_accuracy(loader, num_k=num_k, **kwargs)
 

@@ -397,7 +397,23 @@ def build_train_step(config: Config, g_spec, d_spec, jit: bool = True):
         if config.num_unrolling_steps > 0:
             # Unrolled GAN: D trains ahead, G sees the unrolled D, then D is
             # rolled back to its first update (abstract_train.py:151-162).
-            state, d_metrics, d_backup = run_d(state)
+            # The unroll is NESTED inside the num_gen_steps/keep_gen_steps
+            # gate (abstract_train.py:136-150): on gated-out iterations no
+            # D-step runs and the rollback restore is a no-op (D already
+            # equals the previous iteration's backup).
+            if config.num_gen_steps <= 1:
+                state, d_metrics, d_backup = run_d(state)
+            else:
+                def skip_d(st):
+                    _, m_shape, _ = jax.eval_shape(run_d, st)
+                    nans = jax.tree.map(
+                        lambda s: jnp.full(s.shape, jnp.nan, s.dtype), m_shape
+                    )
+                    return st, nans, st.d_params
+
+                state, d_metrics, d_backup = jax.lax.cond(
+                    do_d, run_d, skip_d, state
+                )
             metrics.update(d_metrics)
             state, g_metrics = g_step(state, bv, kg)
             metrics.update(g_metrics)

@@ -128,11 +128,16 @@ def plot_scene_window(ds, index, modes=("in", "gt"), image_type="small",
     if image_type not in entry:
         raise ValueError(f"'{image_type}' not a valid image_type")
     img = entry[image_type]
-    # meters -> pixels of the chosen level (BaseTrajectories.py:168-183)
-    m_per_px = {"scaled": 0.05, "small": 1.0 / ds.px_per_meter}.get(image_type)
-    if m_per_px is None:  # tiny: scaled by small/tiny resolution ratio
-        small = entry["small"]
-        m_per_px = (1.0 / ds.px_per_meter) * small.shape[0] / img.shape[0]
+    # meters -> pixels of the chosen level (BaseTrajectories.py:168-183).
+    # The per-level scales are recorded by build_image_entry; datasets built
+    # elsewhere (e.g. synthetic) fall back to the small-image registration.
+    if "m_per_px" in entry:
+        m_per_px = entry["m_per_px"][image_type]
+    else:
+        m_per_px = {"small": 1.0 / ds.px_per_meter}.get(image_type)
+        if m_per_px is None:  # scaled/tiny: by resolution ratio vs small
+            small = entry["small"]
+            m_per_px = (1.0 / ds.px_per_meter) * small.shape[0] / img.shape[0]
     scale = 1.0 / m_per_px
 
     ax.imshow(img)

@@ -150,3 +150,42 @@ def test_multislice_mesh_matches_single_device():
     )
     s2, m2 = pstep(pstate, dp.shard_batch(mesh, batch))
     assert_steps_match(s1, m1, s2, m2)
+
+
+def test_patch_bank_on_mesh_matches_host_assembly():
+    """Mesh-replicated patch bank: device gathers bitwise-match host patch
+    assembly, so DP training keeps the fast device-side feed
+    (data/patch_bank.py, VERDICT r2 item 4)."""
+    from mggan_tpu.data.batcher import PaddedBatcher
+    from mggan_tpu.data.patch_bank import DevicePatchBank
+    from mggan_tpu.data.synthetic import make_synthetic_dataset
+
+    ds = make_synthetic_dataset(num_windows=10, max_peds=5, seed=3)
+    mesh = mesh_lib.make_mesh(dp=4, gp=1)
+    bank = DevicePatchBank(ds, max_peds=5, mesh=mesh)
+    host = PaddedBatcher(ds, batch_size=4, max_peds=5, shuffle=False)
+    banked = PaddedBatcher(ds, batch_size=4, max_peds=5, shuffle=False,
+                           patch_bank=bank)
+    assert not banked.include_patches
+    for bh, bb in zip(host, banked):
+        np.testing.assert_array_equal(
+            np.asarray(bb["big_patches"]), bh["big_patches"]
+        )
+
+
+def test_trainer_dp_with_patch_bank(tmp_path):
+    """Trainer --dp 4 --patch_bank 1 trains end-to-end with the replicated
+    bank (previously the mesh path silently fell back to host assembly)."""
+    from mggan_tpu.training.loop import Trainer
+    from mggan_tpu.utils.logging import ExperimentWriter
+
+    cfg = Config(
+        dataset="synthetic_memory", batch_size=4, num_gens=2, epochs=1,
+        num_samples=4, h_dim=16, decoder_h_dim=16, top_k_test=3,
+        gan_type="mgan", weighting_target="ml", dp=4, patch_bank=1,
+        augment=1, log_dir=str(tmp_path),
+    )
+    writer = ExperimentWriter(tmp_path, cfg.experiment, cfg.name, version=22,
+                              config=cfg, tensorboard=False)
+    tr = Trainer(cfg, writer).train()
+    assert int(tr.state.step) > 0

@@ -66,6 +66,8 @@ def run_steps(cfg, tmp_path, n=2):
              num_unrolling_steps=1),
         dict(gan_type="gan", gan_obj="NS", weighting_target="none",
              num_gen_steps=2, keep_gen_steps=100),
+        dict(gan_type="gan", gan_obj="NS", weighting_target="none",
+             num_unrolling_steps=1, num_gen_steps=2, keep_gen_steps=100),
         dict(gan_type="mgan", gan_obj="NS", weighting_target="l2",
              pool_type="sgan"),
     ],
@@ -74,6 +76,54 @@ def test_train_step_families(tmp_path, kw):
     cfg = tiny_config(tmp_path, **kw)
     tr, metrics = run_steps(cfg, tmp_path, n=2)
     assert "train/gen_loss" in metrics
+
+
+def test_unroll_respects_d_gating(tmp_path):
+    """num_unrolling_steps > 0 combined with num_gen_steps > 1: the unroll
+    runs NESTED inside the D-step gate (abstract_train.py:136-150) — on
+    gated-out iterations D's params must stay bitwise unchanged (no D-step,
+    restore is a no-op) while G still trains."""
+    cfg = tiny_config(
+        tmp_path, gan_type="gan", gan_obj="NS", weighting_target="none",
+        num_unrolling_steps=1, num_gen_steps=2, keep_gen_steps=100,
+    )
+    writer = ExperimentWriter(
+        tmp_path, cfg.experiment, cfg.name, version=7, config=cfg,
+        tensorboard=False,
+    )
+    tr = Trainer(cfg, writer)
+    from mggan_tpu.data.loaders import get_dataloader
+
+    loader = get_dataloader(cfg.dataset, "train", batch_size=4, shuffle=False)
+    batch = next(iter(loader))
+    mb = tr._device_batch(batch, train=True)
+
+    d0 = jax.device_get(tr.state.d_params)
+    tr.state, m0 = tr.train_step(tr.state, mb)  # step 0: gate true, D runs
+    d1 = jax.device_get(tr.state.d_params)
+    assert np.isfinite(float(m0["train/discr_loss"]))
+    changed = max(
+        jax.tree.leaves(jax.tree.map(
+            lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+            d0, d1,
+        ))
+    )
+    assert changed > 0  # D took its (first) update before rollback
+
+    g1 = jax.device_get(tr.state.g_params)
+    tr.state, m1 = tr.train_step(tr.state, mb)  # step 1: gated out
+    d2 = jax.device_get(tr.state.d_params)
+    assert np.isnan(float(m1["train/discr_loss"]))  # skipped-step sentinel
+    for a, b in zip(jax.tree.leaves(d1), jax.tree.leaves(d2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    g2 = jax.device_get(tr.state.g_params)
+    g_changed = max(
+        jax.tree.leaves(jax.tree.map(
+            lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+            g1, g2,
+        ))
+    )
+    assert g_changed > 0  # G still trained on the gated-out iteration
 
 
 def test_params_update_and_validation(tmp_path):
