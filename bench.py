@@ -51,11 +51,16 @@ def _make_batch(s, p, seed=0):
     }
 
 
-def bench_sampling():
+def bench_sampling(compute_dtype=None):
+    """k=20 PM-categorical sampling with the fused-selection decode kernel
+    (the Predictor's ``sampling`` strategy path). ``compute_dtype`` measures
+    the bf16 matmul fast path (f32 accumulation)."""
     import jax
 
     from mggan_tpu.models import factory
-    from mggan_tpu.training.steps import batch_views, _g_forward_sampled
+    from mggan_tpu.models import generator as G_mod
+    from mggan_tpu.ops import sampling
+    from mggan_tpu.training.steps import batch_views
 
     cfg = _flagship_config()
     g_pack, _ = factory.construct_model(cfg, jax.random.PRNGKey(0))
@@ -68,9 +73,18 @@ def bench_sampling():
     # computation. Every timer here reduces on device and fetches a scalar.
     @jax.jit
     def sample(g_params, g_state, batch, key):
+        k1, k2 = jax.random.split(key)
         bv = batch_views(batch)
-        pred, _, _, _, _ = _g_forward_sampled(
-            g_params, g_state, g_spec, cfg, bv, key, num_samples=K, train=False
+        enc_h, soc, _ = G_mod.encode(
+            g_params, g_state, g_spec, bv.in_xy, bv.in_dxdy, bv.ped_mask,
+            bv.patches, train=False,
+        )
+        logits = G_mod.pm_logits(g_params, g_spec, enc_h)
+        gen_idxs = sampling.categorical(k2, logits, K)
+        noise = sampling.global_noise(k1, K, S_SAMPLE, P, cfg.noise_dim)
+        pred = G_mod.decode_select(
+            g_params, g_spec, bv.in_xy[:, :, -1], bv.in_dxdy[:, :, -1],
+            enc_h, soc, noise, gen_idxs, compute_dtype,
         )
         return pred.abs.sum()
 
@@ -187,11 +201,15 @@ def bench_host_pipeline():
 
 
 def main():
+    import jax.numpy as jnp
+
     traj_per_sec = bench_sampling()
+    traj_per_sec_bf16 = bench_sampling(compute_dtype=jnp.bfloat16)
     step_s, compile_s = bench_train_step_guarded()
     pipe = bench_host_pipeline()
 
     extra = {
+        "sampling_bf16_traj_per_sec": round(traj_per_sec_bf16, 1),
         "pipeline_bank_batches_per_sec": round(pipe["bank"], 2),
         "pipeline_bank_agents_per_sec": round(pipe["bank"] * S_TRAIN * P, 1),
         "pipeline_hostassembly_batches_per_sec": round(pipe["host"], 2),

@@ -105,6 +105,29 @@ class Predictor:
             return out.abs
 
         self._decode_with_noise = _decode_with_noise
+
+        @functools.partial(jax.jit, static_argnames=("num",))
+        def _decode_sampled(g_params, g_state, batch, rng, num):
+            """PM-categorical sampling with the fused-selection decode
+            (never materialises the all-generator output; falls back to
+            decode_all + gather off-TPU)."""
+            k1, k2 = jax.random.split(rng)
+            bv = batch_views(batch)
+            enc_h, social_feats, _ = G_mod.encode(
+                g_params, g_state, g_spec, bv.in_xy, bv.in_dxdy, bv.ped_mask,
+                bv.patches, train=False,
+            )
+            logits = G_mod.pm_logits(g_params, g_spec, enc_h)
+            gen_idxs = sampling.categorical(k2, logits, num)
+            s, p = bv.ped_mask.shape
+            noise = sampling.global_noise(k1, num, s, p, config.noise_dim)
+            out = G_mod.decode_select(
+                g_params, g_spec, bv.in_xy[:, :, -1], bv.in_dxdy[:, :, -1],
+                enc_h, social_feats, noise, gen_idxs, compute_dtype,
+            )
+            return out.abs, out.rel, jax.nn.softmax(logits, -1), gen_idxs
+
+        self._decode_sampled = _decode_sampled
         self._mesh = None
 
     def shard_to(self, mesh):
@@ -144,13 +167,12 @@ class Predictor:
 
     # ---------------------------------------------------------- strategies
     def predict(self, batch, rng, num=20):
-        """PM-net categorical sampling (train.py:259-289)."""
-        k1, k2 = jax.random.split(rng)
-        abs_all, rel_all, logits, probs, _ = self._run(batch, k1, num)
-        gen_idxs = sampling.categorical(k2, logits, num)
-        out_abs = sampling.gather_samples(abs_all, gen_idxs)
-        out_rel = sampling.gather_samples(rel_all, gen_idxs)
-        return out_abs, out_rel, probs, gen_idxs
+        """PM-net categorical sampling (train.py:259-289), fused-selection
+        decode on TPU."""
+        batch = self._maybe_shard(batch)
+        return self._decode_sampled(
+            self.g_params, self.g_state, batch, rng, num
+        )
 
     def predict_expected(self, batch, rng, num=20):
         """Deterministic proportional allocation (train.py:291-351).

@@ -230,3 +230,64 @@ def decode_all(params, spec: GeneratorSpec, last_xy, last_dxdy, enc_h,
         x.reshape(spec.num_gens, k, s, p, spec.pred_len, 2), 0, 1
     )
     return GeneratorOutput(rel=reshape(rel_g), abs=reshape(abs_g))
+
+
+def decode_select(params, spec: GeneratorSpec, last_xy, last_dxdy, enc_h,
+                  social_feats, noise, gen_idxs, compute_dtype=None,
+                  fuse_select=True):
+    """Decode only the SAMPLED generator per (sample, agent).
+
+    The ``all_gen_out=False`` path's final product (standard.py:186-214):
+    ``decode_all`` + one-hot gather, but on TPU fused into one kernel that
+    reduces the generator lane blocks in VMEM and stores only the selected
+    rollout — 1/4G of the gather path's HBM traffic (the dominant
+    non-decode sampling cost, r2 TODO).
+
+    Forward-only fusion: callers that differentiate through the rollout
+    (G-step) pass ``fuse_select=False`` and get decode_all + gather, whose
+    Pallas kernel has a fused VJP.
+
+    Args:
+        noise: (K, S, P, z); gen_idxs: (S, P, K) int.
+    Returns:
+        GeneratorOutput with abs/rel of shape (K, S, P, pred_len, 2).
+    """
+    from mggan_tpu.ops import sampling as sampling_ops
+
+    k, s, p, _ = noise.shape
+    fused = (
+        fuse_select
+        and not spec.discrete
+        and spec.use_pallas
+        and jax.default_backend() == "tpu"
+    )
+    if not fused:
+        out = decode_all(
+            params, spec, last_xy, last_dxdy, enc_h, social_feats, noise,
+            compute_dtype,
+        )
+        return GeneratorOutput(
+            rel=sampling_ops.gather_samples(out.rel, gen_idxs),
+            abs=sampling_ops.gather_samples(out.abs, gen_idxs),
+        )
+
+    from mggan_tpu.ops.pallas.decoder import pallas_decode_select
+
+    n = k * s * p
+    enc_b = jnp.broadcast_to(enc_h[None], (k,) + enc_h.shape)
+    flat = lambda x: x.reshape((n,) + x.shape[3:])
+    social_b = flat(jnp.broadcast_to(social_feats[None], (k,) + social_feats.shape))
+    xy_b = flat(jnp.broadcast_to(last_xy[None], (k,) + last_xy.shape))
+    dxdy_b = flat(jnp.broadcast_to(last_dxdy[None], (k,) + last_dxdy.shape))
+    inp = jnp.concatenate([enc_b, noise], axis=-1)
+    h0 = flat(mlp_apply(params["enc_to_dec"], inp))
+
+    # rows are (k, s, p)-major, exactly decode_all's flattening
+    idx_flat = jnp.moveaxis(gen_idxs, -1, 0).reshape(n)
+    onehot = jax.nn.one_hot(idx_flat, spec.num_gens, dtype=jnp.float32)
+    abs_sel, rel_sel = pallas_decode_select(
+        params["decoders"], xy_b, dxdy_b, social_b, h0, onehot,
+        spec.pred_len, spec.inp_format, compute_dtype,
+    )
+    reshape = lambda x: x.reshape(k, s, p, spec.pred_len, 2)
+    return GeneratorOutput(rel=reshape(rel_sel), abs=reshape(abs_sel))

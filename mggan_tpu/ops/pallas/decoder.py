@@ -136,6 +136,129 @@ def _sum_gen_blocks(x, g, width):
     return acc
 
 
+# ------------------------------------------------------- fused selection --
+def _fwd_select_kernel(
+    wemb_ref, whh_ref, b_ref, w1_ref, w2_ref, b2_ref,
+    h0_ref, socb_ref, xy0_ref, dxdy0_ref, oh2_ref,
+    out_ref,
+    num_gens: int, pred_len: int, inp_format: str, h_dim: int,
+    compute_dtype,
+):
+    """Rollout + per-row generator selection in one kernel.
+
+    Identical recurrence to ``_fwd_kernel``, but instead of storing every
+    generator's (xy, nd) — a (TILE, T*4G) store that the sampling path then
+    transposes and one-hot-gathers through HBM (~60 of 120 ms at 1.31M
+    rollouts, r2 TODO) — each step reduces the G lane blocks against a
+    per-row one-hot (pre-expanded to (TILE, 2G) so no lane broadcast is
+    needed) and stores only the selected (TILE, T*4).
+    """
+    g = num_gens
+    gh = g * h_dim
+    f32 = jnp.float32
+    cd = compute_dtype or f32
+
+    wemb = wemb_ref[:].astype(cd)
+    whh = whh_ref[:].astype(cd)
+    b = b_ref[:]
+    w1 = w1_ref[:].astype(cd)
+    w2 = w2_ref[:]
+    b2 = b2_ref[:]
+    socb = socb_ref[:]
+    oh2 = oh2_ref[:]
+
+    xy = jnp.concatenate([xy0_ref[:]] * g, axis=-1)
+    dxdy = jnp.concatenate([dxdy0_ref[:]] * g, axis=-1)
+    h = jnp.concatenate([h0_ref[:]] * g, axis=-1).astype(cd)
+    c = jnp.zeros_like(h, dtype=f32)
+
+    steps = []
+    for _ in range(pred_len):
+        te = _make_te(xy, dxdy, g, inp_format)
+        gates = (
+            jnp.dot(te.astype(cd), wemb, preferred_element_type=f32)
+            + jnp.dot(h, whh, preferred_element_type=f32)
+            + b
+        )
+        i = jax.nn.sigmoid(gates[:, :gh])
+        f = jax.nn.sigmoid(gates[:, gh : 2 * gh])
+        gg = jnp.tanh(gates[:, 2 * gh : 3 * gh])
+        o = jax.nn.sigmoid(gates[:, 3 * gh :])
+        c = f * c + i * gg
+        h = (o * jnp.tanh(c)).astype(cd)
+        hid = jnp.dot(h, w1, preferred_element_type=f32) + socb
+        hid = jnp.where(hid > 0, hid, 0.01 * hid)
+        nd = jnp.dot(hid.astype(cd), w2, preferred_element_type=f32) + b2
+        xy = xy + nd
+        dxdy = nd
+        steps.append(_sum_gen_blocks(oh2 * xy, g, 2))
+        steps.append(_sum_gen_blocks(oh2 * nd, g, 2))
+    out_ref[:] = jnp.concatenate(steps, axis=-1)
+
+
+def pallas_decode_select(stacked, last_xy, last_dxdy, social_feats, h0,
+                         onehot, pred_len, inp_format, compute_dtype=None,
+                         interpret=False):
+    """Decode ONLY the selected generator per row, fused in one kernel.
+
+    Args:
+        onehot: (N, G) float one-hot of the sampled generator per row.
+    Returns:
+        (abs, rel): each (N, pred_len, 2) — numerically equal to
+        ``pallas_decode_all`` followed by a per-row one-hot gather, at 1/4G
+        of its output bandwidth. Forward-only (sampling / stop-gradient
+        paths); gradient paths keep ``pallas_decode_all``'s fused VJP.
+    """
+    packed = _pack_all(stacked, social_feats, inp_format)
+    w_emb, w_hh, b, w1, w2, b2, socb = packed
+    n, h_dim = h0.shape
+    gh = w_hh.shape[0]
+    num_gens = gh // h_dim
+    tile = ROW_TILE
+
+    # lane-expand the one-hot to (N, 2G): oh2[:, 2g:2g+2] == onehot[:, g]
+    oh2 = jnp.repeat(onehot.astype(jnp.float32), 2, axis=-1)
+
+    h0p = _pad_rows(h0, tile)
+    xyp = _pad_rows(last_xy, tile)
+    dxdyp = _pad_rows(last_dxdy, tile)
+    socbp = _pad_rows(socb, tile)
+    oh2p = _pad_rows(oh2, tile)
+    n_padded = h0p.shape[0]
+
+    kernel = functools.partial(
+        _fwd_select_kernel,
+        num_gens=num_gens, pred_len=pred_len, inp_format=inp_format,
+        h_dim=h_dim, compute_dtype=compute_dtype,
+    )
+    grid = (n_padded // tile,)
+    ghid = socb.shape[1]
+    out_cols = pred_len * 4
+    wspec = lambda a: pl.BlockSpec(
+        a.shape, lambda i: (0,) * a.ndim, memory_space=pltpu.VMEM
+    )
+    rowspec = lambda cols: pl.BlockSpec(
+        (tile, cols), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    out2d = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            wspec(w_emb), wspec(w_hh), wspec(b), wspec(w1), wspec(w2),
+            wspec(b2), rowspec(h_dim), rowspec(ghid), rowspec(2), rowspec(2),
+            rowspec(2 * num_gens),
+        ],
+        out_specs=rowspec(out_cols),
+        out_shape=jax.ShapeDtypeStruct((n_padded, out_cols), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret or INTERPRET,
+    )(w_emb, w_hh, b, w1, w2, b2, h0p, socbp, xyp, dxdyp, oh2p)
+    out = out2d[:n].reshape(n, pred_len, 2, 2)  # axis 2: [abs, rel]
+    return out[..., 0, :], out[..., 1, :]
+
+
 # --------------------------------------------------------------- forward --
 def _fwd_kernel(
     wemb_ref, whh_ref, b_ref, w1_ref, w2_ref, b2_ref,

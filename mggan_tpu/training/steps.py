@@ -74,13 +74,14 @@ def batch_views(batch) -> BatchViews:
 def _g_forward_sampled(g_params, g_state, g_spec, config, bv: BatchViews, rng,
                        num_samples: int, train: bool,
                        needs_decoder_grad: bool = False):
-    """Encode + PM-sample + decode-all + gather (the reference's
+    """Encode + PM-sample + decode the sampled generator (the reference's
     ``all_gen_out=False`` path, standard.py:186-214).
 
-    ``needs_decoder_grad`` is accepted for call-site documentation but no
-    longer gates the kernel: the Pallas decoder has a fused reverse-sweep
-    backward (ops/pallas/decoder.py::_bwd_kernel, 3.5x the XLA scan's
-    fwd+bwd on the flagship train shape), so every path uses it.
+    ``needs_decoder_grad`` picks the decode flavor: gradient paths (G-step)
+    use decode-all + gather, whose Pallas kernel has a fused reverse-sweep
+    backward (ops/pallas/decoder.py::_bwd_kernel); stop-gradient paths
+    (D-step fakes, eval sampling) use the fused-selection kernel that never
+    materialises the all-generator output.
 
     Returns (pred GeneratorOutput (K,S,P,T,2), logits (S,P,G),
     gen_idxs (S,P,K), noise (K,S,P,z), new_g_state).
@@ -94,19 +95,12 @@ def _g_forward_sampled(g_params, g_state, g_spec, config, bv: BatchViews, rng,
     logits = G_mod.pm_logits(g_params, g_spec, enc_h)
     gen_idxs = sampling.categorical(k_cat, logits, num_samples)
     noise = sampling.global_noise(k_noise, num_samples, s, p, config.noise_dim)
-    out_all = G_mod.decode_all(
+    pred = G_mod.decode_select(
         g_params, g_spec, bv.in_xy[:, :, -1], bv.in_dxdy[:, :, -1],
-        enc_h, social_feats, noise,
+        enc_h, social_feats, noise, gen_idxs,
+        fuse_select=not needs_decoder_grad,
     )
-    pred_abs = sampling.gather_samples(out_all.abs, gen_idxs)
-    pred_rel = sampling.gather_samples(out_all.rel, gen_idxs)
-    return (
-        G_mod.GeneratorOutput(rel=pred_rel, abs=pred_abs),
-        logits,
-        gen_idxs,
-        noise,
-        new_g_state,
-    )
+    return pred, logits, gen_idxs, noise, new_g_state
 
 
 def per_module_grad_norms(grads, prefix: str):

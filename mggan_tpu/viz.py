@@ -95,6 +95,105 @@ def plot_scene(batch, window, preds=None, gen_idxs=None, ax=None):
     return ax
 
 
+def plot_trajectories_by_idxs_img(history=None, gt=None, preds=None,
+                                  idxs=None, img=None, scale=20.0, ax=None,
+                                  lw=3, ls="-", plot_hist=True,
+                                  hist_color="k"):
+    """One agent's predictions colored by integer index over an optional
+    scene image (reference visualization.py:109-207).
+
+    Args:
+        history: (obs_len, 2); gt: (pred_len, 2); preds: (k, pred_len, 2).
+        idxs: (k,) integer labels; samples with the same label share a
+            tab10 color.
+        img: optional HxWx3 underlay; ``scale`` converts meters to its
+            pixels (the reference's px-per-meter ``scale=20.0`` default).
+    """
+    import matplotlib.pyplot as plt
+    import matplotlib.patheffects as mpe
+
+    if ax is None:
+        _, ax = plt.subplots(figsize=(10, 10))
+    if img is not None:
+        ax.imshow(img, alpha=1)
+        height, width = np.asarray(img).shape[:2]
+        ax.set_ylim(height, 0)
+        ax.set_xlim(0, width)
+    else:
+        ax.set_aspect("equal", adjustable="datalim")
+
+    outline = mpe.withStroke(linewidth=lw + 2, foreground="black")
+    cmap = plt.get_cmap("tab10")
+    history = None if history is None else np.asarray(history)
+    if preds is not None:
+        preds = np.asarray(preds)
+        idxs = np.zeros(len(preds), int) if idxs is None else np.asarray(idxs)
+        for idx in np.unique(idxs):
+            group = preds[idxs == idx]
+            last = np.repeat(history[-1][None, None], len(group), axis=0)
+            group = np.concatenate([last, group], axis=1) * scale
+            color = cmap(int(idx))
+            for pred in group:
+                ax.plot(pred[:, 0], pred[:, 1], color=color, linewidth=lw,
+                        path_effects=[outline], zorder=1)
+                ax.scatter(pred[-1:, 0], pred[-1:, 1], color=np.array([color]),
+                           s=lw * 20, zorder=2, edgecolor="black")
+    if gt is not None and not np.isnan(np.asarray(gt)).any():
+        g = np.concatenate([history[-1][None], np.asarray(gt)]) * scale
+        ax.plot(g[:, 0], g[:, 1], "k", zorder=5)
+        ax.plot(g[-1, 0], g[-1, 1], "ko", zorder=6)
+    if history is not None and plot_hist:
+        h = history * scale
+        ax.plot(h[:, 0], h[:, 1], hist_color, linewidth=lw, zorder=3, ls=ls)
+        ax.scatter(h[-1:, 0], h[-1:, 1], c=hist_color, s=lw * 15, zorder=4,
+                   path_effects=[outline])
+    return ax
+
+
+def plot_trajectories_by_idxs_scene(ds, index, preds=None, idxs=None,
+                                    image_type="small", ax=None, lw=3):
+    """All agents of one dataset window plotted by-index over the scene's
+    pyramid image, meters registered to the level's pixels (reference
+    ``plot_trajectories_by_idxs_scene``, visualization.py:210-239 — there
+    the caller passes img+scale; here they come from the dataset pyramid).
+
+    Args:
+        ds: SceneDataset; index: window index.
+        preds: optional (P, k, pred_len, 2) samples per agent (meters).
+        idxs: optional (P, k) integer color labels (e.g. generator ids).
+        image_type: "scaled" | "small" | "tiny" pyramid level.
+    """
+    import matplotlib.pyplot as plt
+
+    if ax is None:
+        _, ax = plt.subplots(figsize=(10, 10))
+    entry = ds.images[ds.scene_names[index]]
+    if image_type not in entry:
+        raise ValueError(f"'{image_type}' not a valid image_type")
+    img = entry[image_type]
+    if "m_per_px" in entry:
+        m_per_px = entry["m_per_px"][image_type]
+    else:
+        m_per_px = (1.0 / ds.px_per_meter) * (
+            entry["small"].shape[0] / img.shape[0]
+        )
+    scale = 1.0 / m_per_px
+
+    traj = np.asarray(ds.trajectories[index])  # (P, 20, 2)
+    for p in range(len(traj)):
+        plot_trajectories_by_idxs_img(
+            history=traj[p, :8],
+            gt=traj[p, 8:],
+            preds=None if preds is None else preds[p],
+            idxs=None if idxs is None else idxs[p],
+            img=img if p == 0 else None,
+            scale=scale,
+            ax=ax,
+            lw=lw,
+        )
+    return ax
+
+
 def plot_manifold_with_preds(manifold, preds, obs=None, ax=None):
     """Overlay a GT manifold with prediction samples colored by membership."""
     import matplotlib.pyplot as plt

@@ -277,3 +277,34 @@ def test_evaluate_cli_all_strategies(tmp_path):
         df = pd.read_csv(csvs[0])
         assert len(df) == 1 and df["Prediction strategy"][0] == strat
         assert float(df["ADE k=2"][0]) >= 0, strat
+
+
+def test_plot_trajectories_by_idxs_scene(tmp_path):
+    """Scene-registered multi-agent by-index plot
+    (reference visualization.py:109-239) — last visualization-surface gap."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+    from mggan_tpu import viz
+    from mggan_tpu.data.synthetic import make_synthetic_dataset
+
+    ds = make_synthetic_dataset(num_windows=3, max_peds=3, seed=2)
+    p = len(ds.trajectories[0])
+    rng = np.random.RandomState(0)
+    preds = ds.trajectories[0][:, None, 8:] + 0.3 * rng.randn(p, 4, 12, 2)
+    idxs = rng.randint(0, 2, (p, 4))
+
+    ax = viz.plot_trajectories_by_idxs_scene(ds, 0, preds=preds, idxs=idxs)
+    assert len(ax.images) == 1          # one scene underlay
+    assert len(ax.lines) >= p * (1 + 4)  # history + samples per agent
+    # color grouping: same idx -> same color among one agent's samples
+    ax2 = viz.plot_trajectories_by_idxs_img(
+        history=ds.trajectories[0][0, :8], gt=ds.trajectories[0][0, 8:],
+        preds=preds[0], idxs=np.array([0, 0, 1, 1]), scale=2.0,
+    )
+    sample_lines = [l for l in ax2.lines if l.get_zorder() == 1]
+    colors = [l.get_color() for l in sample_lines]
+    assert colors[0] == colors[1] and colors[2] == colors[3]
+    assert colors[0] != colors[2]
+    plt.close("all")

@@ -99,3 +99,74 @@ def test_pallas_value_and_grad_jit():
     for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("inp_format", ["rel", "abs", "abs_rel"])
+def test_pallas_select_matches_gather(inp_format):
+    """Fused-selection kernel == decode-all + per-row one-hot gather."""
+    from mggan_tpu.ops.pallas.decoder import pallas_decode_select
+
+    G, N = 3, 70
+    stacked, xy, dxdy, soc, h0 = make_inputs(inp_format, G=G, N=N)
+    idx = jax.random.randint(jax.random.PRNGKey(9), (N,), 0, G)
+    onehot = jax.nn.one_hot(idx, G)
+
+    abs_all, rel_all = common.stacked_decoders_apply(
+        stacked, xy, dxdy, soc, h0, 12, inp_format
+    )  # (G, N, T, 2)
+    want_abs = np.asarray(abs_all)[np.asarray(idx), np.arange(N)]
+    want_rel = np.asarray(rel_all)[np.asarray(idx), np.arange(N)]
+
+    got_abs, got_rel = pallas_decode_select(
+        stacked, xy, dxdy, soc, h0, onehot, 12, inp_format
+    )
+    np.testing.assert_allclose(np.asarray(got_abs), want_abs, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_rel), want_rel, atol=2e-5)
+
+
+def test_decode_select_fallback_equals_gather():
+    """models/generator.decode_select off-TPU == decode_all + gather_samples
+    (the CPU/grad fallback the train G-step uses)."""
+    from mggan_tpu.models import generator as G_mod
+    from mggan_tpu.ops import sampling
+
+    spec = G_mod.GeneratorSpec(
+        z_size=4, encoder_h_dim=8, decoder_h_dim=8, social_feat_size=8,
+        num_gens=3, pred_len=12, embedding_dim=4, inp_format="rel",
+        pool_type="sways", scene_dim=0, use_pinet=True, learn_prior=False,
+    )
+    params, _ = G_mod.init(jax.random.PRNGKey(0), spec)
+    k, s, p = 4, 2, 3
+    ks = jax.random.split(jax.random.PRNGKey(1), 5)
+    enc_h = jax.random.normal(ks[0], (s, p, spec.enc_total))
+    soc = jax.random.normal(ks[1], (s, p, 8))
+    xy = jax.random.normal(ks[2], (s, p, 2))
+    dxdy = jax.random.normal(ks[3], (s, p, 2))
+    noise = jax.random.normal(ks[4], (k, s, p, 4))
+    gen_idxs = jax.random.randint(jax.random.PRNGKey(2), (s, p, k), 0, 3)
+
+    out_all = G_mod.decode_all(params, spec, xy, dxdy, enc_h, soc, noise)
+    want = sampling.gather_samples(out_all.abs, gen_idxs)
+    got = G_mod.decode_select(
+        params, spec, xy, dxdy, enc_h, soc, noise, gen_idxs
+    )
+    np.testing.assert_allclose(np.asarray(got.abs), np.asarray(want),
+                               atol=1e-6)
+
+
+def test_bf16_compute_dtype_close_to_f32():
+    """bf16 fast-path accuracy envelope (documented in BASELINE.md): the
+    recurrent matmuls in bf16 with f32 accumulation stay within a few
+    centimeters of the f32 rollout at flagship magnitudes."""
+    stacked, xy, dxdy, soc, h0 = make_inputs("rel", G=4, N=128, EMB=16, H=32,
+                                             F=8, seed=7)
+    a32, r32 = common.stacked_decoders_apply(stacked, xy, dxdy, soc, h0, 12,
+                                             "rel")
+    a16, r16 = common.stacked_decoders_apply(stacked, xy, dxdy, soc, h0, 12,
+                                             "rel", jnp.bfloat16)
+    err = np.abs(np.asarray(a16) - np.asarray(a32))
+    scale = np.abs(np.asarray(a32)).mean()
+    assert err.max() < 0.15 * max(scale, 1.0), (err.max(), scale)
+    assert err.mean() < 0.02 * max(scale, 1.0)
+    # integration (cumsum) is f32: rel errors bound abs errors
+    assert np.abs(np.asarray(r16) - np.asarray(r32)).max() < 0.1
