@@ -114,8 +114,8 @@ class Config:
     # Keep the split's uint8 patches resident in device HBM and gather per
     # batch on device (data/patch_bank.py); 0 = host-side batch assembly.
     patch_bank: int = 1
-    # Fused Pallas rollout kernel for the multi-generator decode
-    # (ops/pallas/decoder.py); effective on TPU backends, single chip.
+    # Fused Pallas rollout kernels (ops/pallas/decoder.py: fwd, bwd, and
+    # fused-selection variants); effective on TPU backends, single chip.
     pallas_decoder: int = 1
 
     def __post_init__(self):

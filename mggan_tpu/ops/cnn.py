@@ -102,12 +102,29 @@ def scene_cnn_init(key, channels_cnn: int, in_channels: int = 4, num_layers: int
     return params, state
 
 
+def attention_head(params, x):
+    """Channel attention over the conv-stack output (cnn.py:109-116):
+    (B, 8, 8, C) -> (B, 64)."""
+    b, hh, ww, c = x.shape
+    feats = x.reshape(b, hh * ww, c)
+    scores = mlp_apply_per_layer(params["attn"], feats, ["leakyrelu", "none"])
+    att = jax.nn.softmax(scores, axis=2)
+    return (att * feats).sum(-1)  # (B, H*W) = (B, 64)
+
+
 def scene_cnn_apply(params, state, patches, train: bool, mask=None):
     """(B, 33, 33, 4) -> (B, 64) scene encoding (cnn.py:109-116).
 
     The conv stack yields (B, 8, 8, C); attention scores are softmaxed over
     the channel axis and channel-summed, giving one scalar per spatial cell.
     ``mask`` (B,) excludes padded peds from BN batch statistics.
+
+    Perf note: a fused Pallas "transposed row-strip Toeplitz" kernel for
+    this stack was built and measured in round 3 — 24.4 ms vs XLA's
+    27.1 ms standalone at 65k patches, but SLOWER end-to-end inside the
+    sampling jit (102 vs 98 ms; the input transpose does not fuse and XLA
+    overlaps its own conv better) — so the XLA conv stack stays
+    (BASELINE.md round-3 breakdown).
     """
     x = conv_apply(params["conv1"], patches)
     x, bn1 = bn_apply(params["bn1"], state["bn1"], x, train, mask=mask)
@@ -118,9 +135,4 @@ def scene_cnn_apply(params, state, patches, train: bool, mask=None):
     x = jax.nn.relu(x)
     x = max_pool_2x2(x)  # (B, 8, 8, C)
 
-    b, hh, ww, c = x.shape
-    feats = x.reshape(b, hh * ww, c)
-    scores = mlp_apply_per_layer(params["attn"], feats, ["leakyrelu", "none"])
-    att = jax.nn.softmax(scores, axis=2)
-    out = (att * feats).sum(-1)  # (B, H*W) = (B, 64)
-    return out, {"bn1": bn1, "bn2": bn2}
+    return attention_head(params, x), {"bn1": bn1, "bn2": bn2}
