@@ -120,6 +120,15 @@ def bench_train_step():
     step = build_train_step(cfg, g_pack[2], d_pack[2])
     batch = _make_batch(S_TRAIN, P)
 
+    # Separate session init (backend/tunnel warmup — a TRIVIAL jit costs
+    # ~75 s cold through axon, benchmarks/compile_attribution.py) from the
+    # actual program compile, so compile_s measures the program.
+    import jax.numpy as jnp
+
+    t0 = time.perf_counter()
+    float(jax.jit(lambda x: (x * 2 + 1).sum())(jnp.ones((256, 256))))
+    warmup_s = time.perf_counter() - t0
+
     t0 = time.perf_counter()
     state, metrics = step(state, batch)  # compile
     float(metrics["train/gen_loss"])  # real sync (see bench_sampling note)
@@ -131,7 +140,7 @@ def bench_train_step():
         state, metrics = step(state, batch)
     float(metrics["train/gen_loss"])
     dt = (time.perf_counter() - t0) / n_iters
-    return dt, compile_s
+    return dt, compile_s, warmup_s
 
 
 def bench_train_step_guarded(timeout_s=900):
@@ -144,8 +153,9 @@ def bench_train_step_guarded(timeout_s=900):
     code = (
         "import sys, json; sys.path.insert(0, %r)\n"
         "import bench\n"
-        "dt, cs = bench.bench_train_step()\n"
-        "print('TRAINBENCH ' + json.dumps({'step_s': dt, 'compile_s': cs}))\n"
+        "dt, cs, ws = bench.bench_train_step()\n"
+        "print('TRAINBENCH ' + json.dumps("
+        "{'step_s': dt, 'compile_s': cs, 'warmup_s': ws}))\n"
         % os.path.dirname(os.path.abspath(__file__))
     )
     try:
@@ -156,10 +166,10 @@ def bench_train_step_guarded(timeout_s=900):
         for line in r.stdout.splitlines():
             if line.startswith("TRAINBENCH "):
                 d = json.loads(line[len("TRAINBENCH "):])
-                return d["step_s"], d["compile_s"]
+                return d["step_s"], d["compile_s"], d["warmup_s"]
     except subprocess.TimeoutExpired:
         pass
-    return None, None
+    return None, None, None
 
 
 def bench_host_pipeline():
@@ -205,7 +215,7 @@ def main():
 
     traj_per_sec = bench_sampling()
     traj_per_sec_bf16 = bench_sampling(compute_dtype=jnp.bfloat16)
-    step_s, compile_s = bench_train_step_guarded()
+    step_s, compile_s, warmup_s = bench_train_step_guarded()
     pipe = bench_host_pipeline()
 
     extra = {
@@ -220,6 +230,7 @@ def main():
             train_step_ms_4096_agents=round(step_s * 1e3, 3),
             train_agents_per_sec=round(agents_per_sec, 1),
             train_compile_s=round(compile_s, 1),
+            session_warmup_s=round(warmup_s, 1),
         )
     else:
         agents_per_sec = None
