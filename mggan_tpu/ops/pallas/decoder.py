@@ -259,6 +259,226 @@ def pallas_decode_select(stacked, last_xy, last_dxdy, social_feats, h0,
     return out[..., 0, :], out[..., 1, :]
 
 
+# ------------------------------------------------------ sorted selection --
+def _fwd_sorted_kernel(
+    tg_ref,  # scalar-prefetch: (num_tiles,) generator id per row tile
+    wemb_ref, whh_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+    h0_ref, soc_ref, xy0_ref, dxdy0_ref,
+    out_ref,
+    pred_len: int, inp_format: str, h_dim: int, has_soc: bool,
+    compute_dtype,
+):
+    """Single-generator rollout over a tile of rows pre-sorted by sampled
+    generator id; the tile's weight block is DMA'd via scalar prefetch.
+
+    vs ``_fwd_select_kernel`` (lane-packed, all G computed then reduced):
+    the gate row is ONE (TILE, 4H=128) register instead of four, so the
+    per-step transcendental cost is sigmoid+tanh over 4H (2 register-ops)
+    instead of 4 full-lane ops, and the gate matmul is (TILE,H)@(H,4H)
+    instead of (TILE,GH)@(GH,4GH) — 4x less MXU. Register-count, not
+    lane-count, is what this cuts (the compact-select ablation showed
+    sub-128-lane slicing buys nothing, BASELINE.md r3).
+    """
+    f32 = jnp.float32
+    cd = compute_dtype or f32
+    h = h_dim
+
+    wemb = wemb_ref[0].astype(cd)  # (in, 4H)
+    whh = whh_ref[0].astype(cd)    # (H, 4H)
+    b = b_ref[0]                   # (1, 4H) — biases ship as (G, 1, X):
+    w1 = w1_ref[0]                 # Mosaic requires 2D blocks' last two
+    w1h = w1[:h].astype(cd)        # dims to tile (8, 128) or equal the
+    b1 = b1_ref[0]                 # array's, so a (1, X) slice of (G, X)
+    w2 = w2_ref[0]                 # is illegal while (1, 1, X) of
+    b2 = b2_ref[0]                 # (G, 1, X) is fine.
+
+    if has_soc:
+        socb = (
+            jnp.dot(soc_ref[:], w1[h:], preferred_element_type=f32) + b1
+        )
+    else:
+        socb = b1
+
+    xy = xy0_ref[:]
+    dxdy = dxdy0_ref[:]
+    hs = h0_ref[:].astype(cd)
+    c = jnp.zeros((hs.shape[0], h), f32)
+
+    steps = []
+    for _ in range(pred_len):
+        if inp_format == "rel":
+            te = dxdy
+        elif inp_format == "abs":
+            te = xy
+        else:
+            te = jnp.concatenate([xy, dxdy], axis=-1)
+        gates = (
+            jnp.dot(te.astype(cd), wemb, preferred_element_type=f32)
+            + jnp.dot(hs, whh, preferred_element_type=f32)
+            + b
+        )
+        # one sigmoid + one tanh over the FULL (TILE, 4H) row, then slice:
+        # cheaper than per-gate (TILE, H) activations, which each pad to a
+        # full register anyway.
+        sg = jax.nn.sigmoid(gates)
+        th = jnp.tanh(gates)
+        i = sg[:, :h]
+        f = sg[:, h : 2 * h]
+        gg = th[:, 2 * h : 3 * h]
+        o = sg[:, 3 * h :]
+        c = f * c + i * gg
+        hs = (o * jnp.tanh(c)).astype(cd)
+        hid = jnp.dot(hs, w1h, preferred_element_type=f32) + socb
+        hid = jnp.where(hid > 0, hid, 0.01 * hid)
+        nd = jnp.dot(hid.astype(cd), w2, preferred_element_type=f32) + b2
+        xy = xy + nd
+        dxdy = nd
+        steps.append(xy)
+        steps.append(nd)
+    out_ref[:] = jnp.concatenate(steps, axis=-1)
+
+
+def pallas_decode_select_sorted(stacked, last_xy, last_dxdy, social_feats,
+                                h0, gen_idx, pred_len, inp_format,
+                                compute_dtype=None, interpret=False):
+    """Decode only the selected generator per row, rows sorted by generator.
+
+    MEASURED NEGATIVE RESULT on v5e — kept as a tested ablation, NOT wired
+    into ``generator.decode_select`` (which uses ``pallas_decode_select``):
+    the single-generator kernel is 1.45x faster than the lane-packed one
+    (41.3 vs ~60 ms at 1.31M rows), but the XLA permutation around it runs
+    at ~16 GB/s effective (in-gather 22.7 ms, out-gather 109 ms, index math
+    9+ ms), for 173 vs 63 ms end-to-end. On this hardware a data-dependent
+    row permute through HBM costs more than decoding all G generators in
+    VMEM and reducing. See TODO.md r3 notes / BASELINE.md decode row.
+
+    XLA prologue: rows are permuted into per-generator groups (each padded
+    to a ROW_TILE multiple; destination = padded-group start + stable rank
+    within the group, no argsort needed), a per-tile generator-id vector is
+    scalar-prefetched so each tile DMAs exactly its generator's weight
+    block, and the kernel output is gathered back to the original order.
+
+    Args:
+        gen_idx: (N,) int32 sampled generator per row.
+    Returns:
+        (abs, rel): each (N, pred_len, 2), numerically equal to
+        ``pallas_decode_select`` with the one-hot of ``gen_idx``.
+        Forward-only (sampling / stop-gradient paths).
+    """
+    n, h_dim = h0.shape
+    w_hh_s = stacked["lstm"]["w_hh"]  # (G, H, 4H)
+    g = w_hh_s.shape[0]
+    tile = ROW_TILE
+    i32 = jnp.int32
+    f32 = jnp.float32
+
+    emb_w = stacked["spatial_embedding"]["w"]
+    emb_b = stacked["spatial_embedding"]["b"]
+    w_ih = stacked["lstm"]["w_ih"]
+    wemb = jnp.einsum("gie,geh->gih", emb_w, w_ih)  # (G, in, 4H)
+    b = (
+        jnp.einsum("ge,geh->gh", emb_b, w_ih)
+        + stacked["lstm"]["b_ih"]
+        + stacked["lstm"]["b_hh"]
+    )[:, None, :]  # (G, 1, 4H); see kernel comment on bias rank
+    w1 = stacked["hidden2pos"]["lin0"]["w"]  # (G, H+F, hid)
+    b1 = stacked["hidden2pos"]["lin0"]["b"][:, None, :]  # (G, 1, hid)
+    w2 = stacked["hidden2pos"]["lin1"]["w"]  # (G, hid, 2)
+    b2 = stacked["hidden2pos"]["lin1"]["b"][:, None, :]  # (G, 1, 2)
+    hid_dim = w1.shape[-1]
+    feat = social_feats.shape[1]
+    has_soc = feat > 0
+
+    # ---- group-sorted destination for every row (static shapes) ----
+    gen_idx = gen_idx.astype(i32)
+    counts = jnp.bincount(gen_idx, length=g)
+    padded_counts = ((counts + tile - 1) // tile) * tile
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), i32), jnp.cumsum(padded_counts)[:-1].astype(i32)]
+    )
+    oh = jax.nn.one_hot(gen_idx, g, dtype=i32)
+    rank = jnp.take_along_axis(
+        jnp.cumsum(oh, axis=0) - oh, gen_idx[:, None], axis=1
+    )[:, 0]
+    dest = starts[gen_idx] + rank
+    n_buf = ((n + tile - 1) // tile) * tile + g * tile
+    num_tiles = n_buf // tile
+    tile_gen = jnp.clip(
+        jnp.searchsorted(starts, jnp.arange(num_tiles, dtype=i32) * tile,
+                         side="right").astype(i32) - 1,
+        0, g - 1,
+    )
+
+    # one int scatter builds the inverse map; the bulk row moves are gathers
+    inv = jnp.full((n_buf,), n, i32).at[dest].set(jnp.arange(n, dtype=i32))
+    rows = [h0, last_xy, last_dxdy]
+    if has_soc:
+        rows.insert(1, social_feats)
+    rows_cat = jnp.concatenate(rows, axis=-1).astype(f32)
+    rows_cat = jnp.concatenate(
+        [rows_cat, jnp.zeros((1, rows_cat.shape[1]), f32)]
+    )[inv]
+    h0b = rows_cat[:, :h_dim]
+    off = h_dim
+    if has_soc:
+        socb_rows = rows_cat[:, off : off + feat]
+        off += feat
+    else:
+        socb_rows = None
+    xyb = rows_cat[:, off : off + 2]
+    dxdyb = rows_cat[:, off + 2 : off + 4]
+
+    kernel = functools.partial(
+        _fwd_sorted_kernel,
+        pred_len=pred_len, inp_format=inp_format, h_dim=h_dim,
+        has_soc=has_soc, compute_dtype=compute_dtype,
+    )
+    out_cols = pred_len * 4
+    gspec = lambda a: pl.BlockSpec(
+        (1,) + a.shape[1:],
+        (lambda i, tg: (tg[i],) + (0,) * (a.ndim - 1)),
+        memory_space=pltpu.VMEM,
+    )
+    rowspec = lambda cols: pl.BlockSpec(
+        (tile, cols), lambda i, tg: (i, 0), memory_space=pltpu.VMEM
+    )
+    in_specs = [
+        gspec(wemb), gspec(w_hh_s), gspec(b), gspec(w1), gspec(b1),
+        gspec(w2), gspec(b2), rowspec(h_dim),
+    ]
+    operands = [wemb, w_hh_s, b, w1, b1, w2, b2, h0b]
+    if has_soc:
+        in_specs.append(rowspec(feat))
+        operands.append(socb_rows)
+    in_specs += [rowspec(2), rowspec(2)]
+    operands += [xyb, dxdyb]
+
+    def soc_adjusted_kernel(*refs, **kw):
+        if has_soc:
+            return kernel(*refs, **kw)
+        # splice a dummy soc ref position: kernel signature expects soc_ref
+        tg, wemb_r, whh_r, b_r, w1_r, b1_r, w2_r, b2_r, h0_r, xy_r, dxdy_r, out_r = refs
+        return kernel(tg, wemb_r, whh_r, b_r, w1_r, b1_r, w2_r, b2_r,
+                      h0_r, None, xy_r, dxdy_r, out_r, **kw)
+
+    out2d = pl.pallas_call(
+        soc_adjusted_kernel if not has_soc else kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(num_tiles,),
+            in_specs=in_specs,
+            out_specs=rowspec(out_cols),
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_buf, out_cols), f32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret or INTERPRET,
+    )(tile_gen, *operands)
+    out = out2d[dest].reshape(n, pred_len, 2, 2)  # axis 2: [abs, rel]
+    return out[..., 0, :], out[..., 1, :]
+
+
 # --------------------------------------------------------------- forward --
 def _fwd_kernel(
     wemb_ref, whh_ref, b_ref, w1_ref, w2_ref, b2_ref,

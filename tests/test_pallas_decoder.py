@@ -124,6 +124,64 @@ def test_pallas_select_matches_gather(inp_format):
     np.testing.assert_allclose(np.asarray(got_rel), want_rel, atol=2e-5)
 
 
+@pytest.mark.parametrize("inp_format", ["rel", "abs", "abs_rel"])
+def test_pallas_select_sorted_matches_gather(inp_format):
+    """Sorted-by-generator selection kernel == decode-all + gather, incl.
+    the group-padding permutation for N not a tile multiple."""
+    from mggan_tpu.ops.pallas.decoder import pallas_decode_select_sorted
+
+    G, N = 3, 70
+    stacked, xy, dxdy, soc, h0 = make_inputs(inp_format, G=G, N=N)
+    idx = jax.random.randint(jax.random.PRNGKey(9), (N,), 0, G)
+
+    abs_all, rel_all = common.stacked_decoders_apply(
+        stacked, xy, dxdy, soc, h0, 12, inp_format
+    )  # (G, N, T, 2)
+    want_abs = np.asarray(abs_all)[np.asarray(idx), np.arange(N)]
+    want_rel = np.asarray(rel_all)[np.asarray(idx), np.arange(N)]
+
+    got_abs, got_rel = jax.jit(
+        lambda *a: pallas_decode_select_sorted(*a, 12, inp_format)
+    )(stacked, xy, dxdy, soc, h0, idx)
+    np.testing.assert_allclose(np.asarray(got_abs), want_abs, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_rel), want_rel, atol=2e-5)
+
+
+def test_pallas_select_sorted_no_social():
+    """F=0 path: the social operand is dropped and socb degenerates to b1."""
+    from mggan_tpu.ops.pallas.decoder import pallas_decode_select_sorted
+
+    G, N = 2, 50
+    stacked, xy, dxdy, _, h0 = make_inputs("rel", G=G, N=N, F=0)
+    soc = jnp.zeros((N, 0))
+    idx = jax.random.randint(jax.random.PRNGKey(3), (N,), 0, G)
+    abs_all, _ = common.stacked_decoders_apply(
+        stacked, xy, dxdy, soc, h0, 12, "rel"
+    )
+    want = np.asarray(abs_all)[np.asarray(idx), np.arange(N)]
+    got, _ = pallas_decode_select_sorted(
+        stacked, xy, dxdy, soc, h0, idx, 12, "rel"
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+
+
+def test_pallas_select_sorted_skewed_distribution():
+    """All rows on one generator (max group padding) still exact."""
+    from mggan_tpu.ops.pallas.decoder import pallas_decode_select_sorted
+
+    G, N = 4, 33
+    stacked, xy, dxdy, soc, h0 = make_inputs("rel", G=G, N=N, seed=11)
+    idx = jnp.full((N,), 2, jnp.int32)
+    abs_all, _ = common.stacked_decoders_apply(
+        stacked, xy, dxdy, soc, h0, 12, "rel"
+    )
+    want = np.asarray(abs_all)[2]
+    got, _ = pallas_decode_select_sorted(
+        stacked, xy, dxdy, soc, h0, idx, 12, "rel"
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+
+
 def test_decode_select_fallback_equals_gather():
     """models/generator.decode_select off-TPU == decode_all + gather_samples
     (the CPU/grad fallback the train G-step uses)."""
