@@ -27,12 +27,18 @@ class PaddedBatcher:
         pad_final: bool = True,
         include_patches: bool = True,
         patch_bank=None,
+        num_batches: int | None = None,
     ):
         self.ds = ds
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.rng = np.random.RandomState(seed)
         self.pad_final = pad_final
+        # SPMD lockstep (data/elastic.py): force this many batches per
+        # epoch, padding trailing all-masked empty batches if the local
+        # shard runs short (requires pad_final so shapes stay static).
+        self.num_batches = num_batches
+        assert num_batches is None or pad_final
         # With a device-resident bank (data/patch_bank.py) the host stops
         # assembling patch arrays entirely; make_batch attaches the device
         # gather instead (dispatched from the prefetch thread -> overlaps
@@ -61,7 +67,14 @@ class PaddedBatcher:
 
     def __len__(self):
         n = len(self.ds)
-        return (n + self.batch_size - 1) // self.batch_size
+        data_batches = (n + self.batch_size - 1) // self.batch_size
+        if self.num_batches is not None:
+            assert self.num_batches >= data_batches, (
+                f"num_batches={self.num_batches} < {data_batches} batches "
+                "of local data — lockstep count must cover the shard"
+            )
+            return self.num_batches
+        return data_batches
 
     def num_windows(self):
         return len(self.ds)
@@ -74,6 +87,10 @@ class PaddedBatcher:
         for i in range(0, len(order), bs):
             idxs = order[i : i + bs]
             yield self.make_batch(idxs)
+        if self.num_batches is not None:
+            produced = -(-len(order) // bs) if len(order) else 0
+            for _ in range(produced, self.num_batches):
+                yield self.make_batch(np.zeros((0,), np.int64))
 
     def make_batch(self, idxs):
         ds, p = self.ds, self.max_peds

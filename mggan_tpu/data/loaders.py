@@ -60,11 +60,33 @@ def get_dataloader(
     seed=0,
     patch_bank=False,
     bank_mesh=None,
+    shard_by_process=False,
+    process_index=None,
+    process_count=None,
 ):
+    """``shard_by_process`` enables multi-host feeding (data/elastic.py):
+    this process loads only its disjoint window shard and the loader yields
+    the SPMD-lockstep batch count (short shards pad all-masked batches).
+    ``process_index/process_count`` default to the live JAX runtime and are
+    overridable for tests."""
     assert phase in ("train", "val", "test")
     if phase in ("val", "test") and augment:
         augment = False  # data_loaders.py:21-23
     ds = get_dataset(dataset, phase, data_root=data_root, split=split)
+    num_batches = None
+    if shard_by_process:
+        from mggan_tpu.data import elastic
+
+        if process_index is None or process_count is None:
+            import jax
+
+            process_index = jax.process_index()
+            process_count = jax.process_count()
+        global_windows = len(ds)
+        ds = elastic.shard_windows(ds, process_index, process_count)
+        num_batches = elastic.lockstep_batches(
+            global_windows, process_count, batch_size
+        )
     bank = None
     if patch_bank:
         from mggan_tpu.data.patch_bank import maybe_build_bank
@@ -79,4 +101,5 @@ def get_dataloader(
         shuffle=shuffle,
         seed=seed,
         patch_bank=bank,
+        num_batches=num_batches,
     )
