@@ -143,7 +143,7 @@ def bench_train_step():
     return dt, compile_s, warmup_s
 
 
-def bench_train_step_guarded(timeout_s=900):
+def bench_train_step_guarded(timeout_s=1200):
     """The full train step (with the Pallas fwd+bwd decoder) can take
     minutes to compile through the remote-compile tunnel; run it in a
     bounded subprocess so a slow compile service can't kill the whole
