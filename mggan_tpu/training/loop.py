@@ -33,10 +33,17 @@ from mggan_tpu.utils.logging import ExperimentWriter, load_meta_tags
 
 
 class Trainer:
-    """PiNet multi-generator GAN trainer (assert train.py:21: mgan/gan/infogan)."""
+    """PiNet multi-generator GAN trainer.
+
+    The reference asserts probgan out of this path (train.py:21:
+    mgan/gan/infogan) because its SGHMC machinery was never wired; here the
+    probgan chain is complete (5-head ensemble, Polyak history EMA, SGHMC
+    noise losses in steps.py), so the assert admits it — documented as
+    PARITY.md deviation 10.
+    """
 
     def __init__(self, config: Config, writer: ExperimentWriter, init_key=None):
-        assert config.gan_type in ("mgan", "gan", "infogan"), config.gan_type
+        assert config.gan_type in ("mgan", "gan", "infogan", "probgan"), config.gan_type
         self.config = config
         self.writer = writer
         key = init_key if init_key is not None else jax.random.PRNGKey(config.seed)
@@ -111,16 +118,21 @@ class Trainer:
         # On a mesh the bank is replicated across devices so batch gathers
         # run device-side there too (shard_batch then does a local slice).
         bank = bool(cfg.patch_bank)
+        # On a multi-host pod each process loads only its disjoint window
+        # shard with an SPMD-lockstep batch count (data/elastic.py);
+        # single-process runs are untouched.
+        shard_proc = jax.process_count() > 1
         train_loader = get_dataloader(
             cfg.dataset, "train", augment=bool(cfg.augment),
             batch_size=cfg.batch_size, shuffle=True, max_peds=mp,
             data_root=cfg.data_root, seed=cfg.seed, patch_bank=bank,
-            bank_mesh=self._mesh,
+            bank_mesh=self._mesh, shard_by_process=shard_proc,
         )
         val_loader = get_dataloader(
             cfg.dataset, "val", augment=False, batch_size=cfg.batch_size,
             shuffle=False, max_peds=mp, data_root=cfg.data_root,
             patch_bank=bank, bank_mesh=self._mesh,
+            shard_by_process=shard_proc,
         )
         track_metric = f"val/ADE k={cfg.top_k_test}"
         best = math.inf

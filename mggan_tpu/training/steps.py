@@ -29,6 +29,7 @@ from mggan_tpu.models import discriminator as D_mod
 from mggan_tpu.ops import losses as L
 from mggan_tpu.ops import sampling
 from mggan_tpu.training.state import TrainState, optimizers, scheduled_lr, with_lr
+from mggan_tpu.utils import trajectory_tools
 from mggan_tpu.utils.pytree import tree_global_norm
 
 
@@ -202,6 +203,19 @@ def build_train_step(config: Config, g_spec, d_spec, jit: bool = True):
             total = total + _gradient_penalty(
                 d_params, state.d_state, d_spec, bv, pred, k_gp
             )
+        if gan_type == "probgan":
+            # SGHMC noise injection via the loss term lambda*<theta, n>,
+            # n ~ N(0, alpha): its gradient adds lambda*n to every D param
+            # grad, turning the update into an SGHMC step (reference
+            # utils.py:10-15 helpers, shipped unwired there; probGAN flags
+            # config.py:100-117).
+            # key folded from rng with a constant far from split()'s
+            # counter indices, so non-probgan RNG streams (pinned by the
+            # golden fixtures) are untouched
+            k_nl = jax.random.fold_in(rng, 1729)
+            nl = trajectory_tools.noise_loss(d_params, k_nl, config.sghmc_alpha)
+            metrics["train/d_noise_loss"] = nl
+            total = total + config.d_noise_loss_lambda * nl
         return total, (metrics, d_state1)
 
     def d_step(state: TrainState, bv: BatchViews, rng):
@@ -265,6 +279,13 @@ def build_train_step(config: Config, g_spec, d_spec, jit: bool = True):
             info = info / num_samples  # train.py:123
             metrics["train/info_loss"] = info
             total = total + info
+        if gan_type == "probgan":
+            # SGHMC noise term for G (see d_loss_fn; lambda from
+            # --g_noise_loss_lambda, std from --sghmc_alpha)
+            k_nl = jax.random.fold_in(rng, 1729)  # see d_loss_fn note
+            nl = trajectory_tools.noise_loss(g_params, k_nl, config.sghmc_alpha)
+            metrics["train/g_noise_loss"] = nl
+            total = total + config.g_noise_loss_lambda * nl
         return total, (metrics, g_state1)
 
     def g_step(state: TrainState, bv: BatchViews, rng):

@@ -70,12 +70,60 @@ def run_steps(cfg, tmp_path, n=2):
              num_unrolling_steps=1, num_gen_steps=2, keep_gen_steps=100),
         dict(gan_type="mgan", gan_obj="NS", weighting_target="l2",
              pool_type="sgan"),
+        dict(gan_type="probgan", gan_obj="NS", weighting_target="ml"),
     ],
 )
 def test_train_step_families(tmp_path, kw):
     cfg = tiny_config(tmp_path, **kw)
     tr, metrics = run_steps(cfg, tmp_path, n=2)
     assert "train/gen_loss" in metrics
+
+
+def test_probgan_sghmc_noise_wired(tmp_path):
+    """probgan adds the SGHMC noise terms lambda*<theta, n> to both losses
+    (reference utils.py:10-15 helpers + config.py:100-117 flags, unwired
+    there); zero lambda must recover noise-free training exactly."""
+    import jax.numpy as jnp
+
+    cfg = tiny_config(tmp_path, gan_type="probgan", weighting_target="ml",
+                      sghmc_alpha=0.05)
+    tr, metrics = run_steps(cfg, tmp_path, n=2)
+    assert "train/g_noise_loss" in metrics
+    assert "train/d_noise_loss" in metrics
+
+    cfg0 = tiny_config(tmp_path, gan_type="probgan", weighting_target="ml",
+                       g_noise_loss_lambda=0.0, d_noise_loss_lambda=0.0,
+                       name="nl0")
+    tr0, _ = run_steps(cfg0, tmp_path, n=2)
+    # same seed, same data order: the only divergence source is the noise
+    # term, so lambda=0 vs default 3e-2 must differ...
+    leaves = jax.tree.leaves(tr.state.g_params)
+    leaves0 = jax.tree.leaves(tr0.state.g_params)
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(leaves, leaves0)
+    )
+
+
+def test_sghmc_noise_loss_gradient_is_noise():
+    """grad of <theta, n> w.r.t. theta reproduces n (std = alpha)."""
+    import jax.numpy as jnp
+
+    from mggan_tpu.utils import trajectory_tools
+
+    params = {"a": jnp.ones((64, 64)), "b": jnp.zeros((128,))}
+    key = jax.random.PRNGKey(3)
+    g = jax.grad(trajectory_tools.noise_loss)(params, key, 0.01)
+    # the gradient IS the sampled noise: mean ~ 0, std ~ alpha
+    flat = np.concatenate([np.asarray(x).ravel() for x in jax.tree.leaves(g)])
+    assert abs(flat.mean()) < 5e-4
+    assert abs(flat.std() - 0.01) < 2e-3
+    # independent of params' values, deterministic in the key
+    g2 = jax.grad(trajectory_tools.noise_loss)(
+        {"a": jnp.full((64, 64), 7.0), "b": jnp.ones((128,))}, key, 0.01
+    )
+    for x, y in zip(jax.tree.leaves(g), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y))
 
 
 def test_unroll_respects_d_gating(tmp_path):
