@@ -47,6 +47,7 @@ def get_arg_parser():
         ],
     )
     p.add_argument("--no-precision-recall", action="store_true")
+    p.add_argument("--compilation_cache_dir", default="")
     p.add_argument("--data_root", default="./data/datasets")
     p.add_argument("--batch_size", default=32, type=int)
     return p
@@ -56,6 +57,10 @@ def main(argv=None):
     import pandas as pd
 
     args = get_arg_parser().parse_args(argv)
+    if args.compilation_cache_dir:
+        from mggan_tpu.utils.profiling import enable_compilation_cache
+
+        enable_compilation_cache(args.compilation_cache_dir)
     num_preds_list = list(range(1, args.num_preds))
     pred_strats = (
         ["smart_expected", "expected", "sampling"]

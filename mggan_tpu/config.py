@@ -117,6 +117,11 @@ class Config:
     # Fused Pallas rollout kernels (ops/pallas/decoder.py: fwd, bwd, and
     # fused-selection variants); effective on TPU backends, single chip.
     pallas_decoder: int = 1
+    # Persistent XLA compilation-cache directory: repeat CLI runs (sweeps,
+    # evaluate-after-train) deserialize compiled executables instead of
+    # recompiling (a warm train-step compile is 41-56 s through the
+    # remote-compile service). Empty = disabled.
+    compilation_cache_dir: str = ""
 
     def __post_init__(self):
         assert self.inp_format in INP_FORMATS
@@ -217,6 +222,7 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile_dir", type=str, default=d.profile_dir)
     p.add_argument("--patch_bank", type=int, default=d.patch_bank)
     p.add_argument("--pallas_decoder", type=int, default=d.pallas_decoder)
+    p.add_argument("--compilation_cache_dir", type=str, default=d.compilation_cache_dir)
     return p
 
 

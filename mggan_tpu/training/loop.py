@@ -44,6 +44,10 @@ class Trainer:
 
     def __init__(self, config: Config, writer: ExperimentWriter, init_key=None):
         assert config.gan_type in ("mgan", "gan", "infogan", "probgan"), config.gan_type
+        if getattr(config, "compilation_cache_dir", ""):
+            from mggan_tpu.utils.profiling import enable_compilation_cache
+
+            enable_compilation_cache(config.compilation_cache_dir)
         self.config = config
         self.writer = writer
         key = init_key if init_key is not None else jax.random.PRNGKey(config.seed)

@@ -9,6 +9,23 @@ import time
 import jax
 
 
+def enable_compilation_cache(cache_dir: str) -> None:
+    """Persist compiled executables across processes.
+
+    Keyed by HLO + compile options, so a repeat run of the same program
+    (a sweep point, evaluate-after-train, a resumed soak) deserializes the
+    executable instead of paying the 41-56 s warm compile through the
+    remote-compile service. Thresholds are zeroed because every program
+    here is dispatch-bound and worth keeping regardless of size.
+    """
+    import pathlib
+
+    pathlib.Path(cache_dir).mkdir(parents=True, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+
 @contextlib.contextmanager
 def trace(log_dir: str):
     """Capture a jax.profiler trace (view with TensorBoard or xprof)."""
