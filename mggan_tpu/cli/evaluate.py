@@ -15,7 +15,7 @@ from collections import defaultdict
 from pathlib import Path
 
 from mggan_tpu.data.loaders import get_dataloader
-from mggan_tpu.eval.evaluate import evaluate_ade_fde, get_predictions
+from mggan_tpu.eval.evaluate import evaluate_ade_fde, get_predictions_multi
 from mggan_tpu.eval.manifold import evaluate_precision_recall
 from mggan_tpu.training.loop import Trainer
 
@@ -81,10 +81,14 @@ def main(argv=None):
     model_dirs = [
         d for d in Path(args.model_path).iterdir() if "version" in d.stem
     ]
-    jobs = [(d, s) for s in pred_strats for d in model_dirs]
-
+    # Dir-major so each version dir is loaded (and its predictor jitted)
+    # once, not once per strategy — through the remote-compile service a
+    # reload costs a full ~40 s+ recompile. The reference iterates
+    # strategy-major (scripts/evaluate.py:114-118) but row order in the
+    # CSV is cosmetic: it is consumed as a dataframe.
     all_results = defaultdict(list)
-    for model_dir, pred_strat in jobs:
+    loaders = {}  # (dataset, phase, split, bank) -> loader; reuse patch banks
+    for model_dir in model_dirs:
         try:
             trainer, config = Trainer.load_from_path(model_dir, args.checkpoint)
         except Exception as e:
@@ -92,50 +96,65 @@ def main(argv=None):
             trainer, config = Trainer.load_from_path(model_dir, "best")
 
         # strategy applicability (scripts/evaluate.py:119-123)
-        if config.num_gens == 1 and pred_strat not in ("sampling", "rejection"):
-            continue
-        if config.weighting_target == "none" and "smart" in pred_strat:
+        strats = [
+            s for s in pred_strats
+            if not (config.num_gens == 1 and s not in ("sampling", "rejection"))
+            and not (config.weighting_target == "none" and "smart" in s)
+        ]
+        if not strats:
             continue
 
         dataset = args.eval_set or config.dataset
-        if args.eval_set is not None:
-            all_results["Training dataset"].append(config.dataset)
-        loader = get_dataloader(
-            dataset, args.phase, batch_size=args.batch_size,
-            split=None if split == "all" else split,
-            data_root=args.data_root,
-            patch_bank=bool(getattr(config, "patch_bank", 1)),
-        )
-
-        all_results["Model"].append(config.name)
-        all_results["# Generators"].append(config.num_gens)
-        all_results["Decoder dim"].append(config.decoder_h_dim)
-        all_results["Generator params"].append(config.num_gen_parameters)
-        all_results["Prediction strategy"].append(pred_strat)
-        all_results["Mode"].append(config.experiment)
-        all_results["Use Classifier"].append(config.gan_type)
-        all_results["Prior"].append(config.weighting_target)
-        all_results["Dataset"].append(dataset)
-        all_results["Maximization Samples"].append(config.num_samples)
-        all_results["Expectation Samples"].append(config.num_expectation_samples)
-        all_results["L2 loss weight"].append(config.l2_loss_weight)
-        all_results["Clf loss weight"].append(config.clf_loss_weight)
-        all_results["Sigma"].append(config.sigma)
-
-        preds = get_predictions(
-            trainer.predictor(), loader, max(num_preds_list), strategy=pred_strat
-        )
-        metric_dict = dict(evaluate_ade_fde(loader.ds, preds, num_preds_list))
-        if not args.no_precision_recall:
-            metric_dict.update(
-                evaluate_precision_recall(
-                    loader.ds, preds, args.radius, num_preds_list
-                )
+        loader_key = (dataset, args.phase, split,
+                      bool(getattr(config, "patch_bank", 1)))
+        if loader_key not in loaders:
+            loaders[loader_key] = get_dataloader(
+                dataset, args.phase, batch_size=args.batch_size,
+                split=None if split == "all" else split,
+                data_root=args.data_root,
+                patch_bank=loader_key[-1],
             )
-        for k, v in metric_dict.items():
-            all_results[k].append(v)
+        loader = loaders[loader_key]
 
-        pd.DataFrame(dict(all_results)).to_csv(output_csv)
+        # One loader pass for all applicable strategies: rng-identical
+        # families share device decodes (eval/predict.py::predict_multi).
+        preds_by_strat = get_predictions_multi(
+            trainer.predictor(), loader, max(num_preds_list),
+            strategies=tuple(strats),
+        )
+
+        for pred_strat in strats:
+            if args.eval_set is not None:
+                all_results["Training dataset"].append(config.dataset)
+            all_results["Model"].append(config.name)
+            all_results["# Generators"].append(config.num_gens)
+            all_results["Decoder dim"].append(config.decoder_h_dim)
+            all_results["Generator params"].append(config.num_gen_parameters)
+            all_results["Prediction strategy"].append(pred_strat)
+            all_results["Mode"].append(config.experiment)
+            all_results["Use Classifier"].append(config.gan_type)
+            all_results["Prior"].append(config.weighting_target)
+            all_results["Dataset"].append(dataset)
+            all_results["Maximization Samples"].append(config.num_samples)
+            all_results["Expectation Samples"].append(
+                config.num_expectation_samples)
+            all_results["L2 loss weight"].append(config.l2_loss_weight)
+            all_results["Clf loss weight"].append(config.clf_loss_weight)
+            all_results["Sigma"].append(config.sigma)
+
+            preds = preds_by_strat[pred_strat]
+            metric_dict = dict(
+                evaluate_ade_fde(loader.ds, preds, num_preds_list))
+            if not args.no_precision_recall:
+                metric_dict.update(
+                    evaluate_precision_recall(
+                        loader.ds, preds, args.radius, num_preds_list
+                    )
+                )
+            for k, v in metric_dict.items():
+                all_results[k].append(v)
+
+            pd.DataFrame(dict(all_results)).to_csv(output_csv)
 
 
 if __name__ == "__main__":

@@ -27,17 +27,23 @@ def adjust_seq_start_end_for_mask(seq_start_end, remove_mask):
     ]
 
 
-def get_predictions(predictor, loader, num_preds=20, strategy="sampling", seed=0):
-    """Run a strategy over a sequential loader -> (pred_len, k, N, 2) numpy.
+def get_predictions_multi(predictor, loader, num_preds=20,
+                          strategies=("sampling",), seed=0):
+    """Run several strategies over a sequential loader in one pass.
+
+    Returns {strategy: (pred_len, k, N, 2) numpy}. Each entry is bitwise
+    equal to a standalone :func:`get_predictions` call with the same seed
+    (Predictor.predict_multi shares decode passes only within
+    rng-identical strategy families), but the loader/augment host work and
+    rng-shared device decodes run once instead of once per strategy.
 
     The loader must be sequential/unshuffled so rows line up with the
     dataset's ``seq_start_end`` (reference asserts a SequentialSampler,
     train.py:216).
     """
     assert not loader.shuffle, "get_predictions requires a sequential loader"
-    pred_func = predictor.get_predict_func(strategy)
     rng = jax.random.PRNGKey(seed)
-    out = []
+    out = {s: [] for s in strategies}
     from mggan_tpu.data.augment import augment_batch
 
     for i, batch in enumerate(loader):
@@ -51,15 +57,23 @@ def get_predictions(predictor, loader, num_preds=20, strategy="sampling", seed=0
             "ped_mask": model_batch["ped_mask"],
             "patches": model_batch.get("patches"),
         }
-        abs_out, _, _, _ = pred_func(
-            model_batch, jax.random.fold_in(rng, i), num=num_preds
+        results = predictor.predict_multi(
+            model_batch, jax.random.fold_in(rng, i), strategies, num=num_preds
         )
-        abs_np = np.asarray(jax.device_get(abs_out))  # (K,S,P,T,2)
         valid_rows = np.asarray(model_batch["ped_mask"])
-        # flatten to reference layout: agents of scene 0, scene 1, ...
-        sel = abs_np[:, valid_rows]  # (K, N_batch, T, 2)
-        out.append(np.transpose(sel, (2, 0, 1, 3)))  # (T, K, N, 2)
-    return np.concatenate(out, axis=2)
+        for s in strategies:
+            abs_np = np.asarray(jax.device_get(results[s][0]))  # (K,S,P,T,2)
+            # flatten to reference layout: agents of scene 0, scene 1, ...
+            sel = abs_np[:, valid_rows]  # (K, N_batch, T, 2)
+            out[s].append(np.transpose(sel, (2, 0, 1, 3)))  # (T, K, N, 2)
+    return {s: np.concatenate(v, axis=2) for s, v in out.items()}
+
+
+def get_predictions(predictor, loader, num_preds=20, strategy="sampling", seed=0):
+    """Run a strategy over a sequential loader -> (pred_len, k, N, 2) numpy."""
+    return get_predictions_multi(
+        predictor, loader, num_preds, (strategy,), seed
+    )[strategy]
 
 
 def evaluate_ade_fde(ds, preds, n_preds_list):

@@ -174,13 +174,8 @@ class Predictor:
             self.g_params, self.g_state, batch, rng, num
         )
 
-    def predict_expected(self, batch, rng, num=20):
-        """Deterministic proportional allocation (train.py:291-351).
-
-        Selection runs on device (expected_selection_jax; fuzz-verified
-        against the numpy reference implementation below).
-        """
-        abs_all, rel_all, _, probs, _ = self._run(batch, rng, num)
+    def _select_expected(self, run, num):
+        abs_all, rel_all, _, probs, _ = run
         s, p, g = probs.shape
         gen_idxs = expected_selection_jax(
             probs.reshape(-1, g), num
@@ -188,10 +183,8 @@ class Predictor:
         out_abs, out_rel = self._gather(abs_all, rel_all, gen_idxs)
         return out_abs, out_rel, probs, gen_idxs
 
-    def predict_uniform(self, batch, rng, num=20, eps=0.0):
-        """Threshold + descending-prob round robin (train.py:353-412).
-        Selection on device (uniform_selection_jax)."""
-        abs_all, rel_all, _, probs, _ = self._run(batch, rng, num)
+    def _select_uniform(self, run, num, eps):
+        abs_all, rel_all, _, probs, _ = run
         s, p, g = probs.shape
         gen_idxs = uniform_selection_jax(
             probs.reshape(-1, g), num, eps
@@ -199,10 +192,8 @@ class Predictor:
         out_abs, out_rel = self._gather(abs_all, rel_all, gen_idxs)
         return out_abs, out_rel, probs, gen_idxs
 
-    def predict_smart_sampling(self, batch, rng, num=20, eps=0.0):
-        """Uniform categorical over gens above threshold (train.py:414-465)."""
-        k1, k2 = jax.random.split(rng)
-        abs_all, rel_all, _, probs, _ = self._run(batch, k1, num)
+    def _select_smart_sampling(self, run, k2, num, eps):
+        abs_all, rel_all, _, probs, _ = run
         over = probs > eps
         none_over = ~over.any(-1, keepdims=True)
         over = jnp.where(none_over, True, over)
@@ -210,6 +201,70 @@ class Predictor:
         gen_idxs = sampling.categorical(k2, logits_u, num)
         out_abs, out_rel = self._gather(abs_all, rel_all, gen_idxs)
         return out_abs, out_rel, probs, gen_idxs
+
+    def predict_expected(self, batch, rng, num=20):
+        """Deterministic proportional allocation (train.py:291-351).
+
+        Selection runs on device (expected_selection_jax; fuzz-verified
+        against the numpy reference implementation below).
+        """
+        return self._select_expected(self._run(batch, rng, num), num)
+
+    def predict_uniform(self, batch, rng, num=20, eps=0.0):
+        """Threshold + descending-prob round robin (train.py:353-412).
+        Selection on device (uniform_selection_jax)."""
+        return self._select_uniform(self._run(batch, rng, num), num, eps)
+
+    def predict_smart_sampling(self, batch, rng, num=20, eps=0.0):
+        """Uniform categorical over gens above threshold (train.py:414-465)."""
+        k1, k2 = jax.random.split(rng)
+        return self._select_smart_sampling(
+            self._run(batch, k1, num), k2, num, eps
+        )
+
+    def predict_multi(self, batch, rng, strategies, num=20):
+        """Run several strategies over one batch, sharing decode passes.
+
+        The decode-all output depends only on (batch, rng, num), so
+        strategies whose selection consumes the same rng stream share one
+        device pass: expected/uniform_expected/smart_expected share
+        ``_run(batch, rng)``; smart_sampling/uniform_sampling share
+        ``_run(batch, k1)``. Outputs are bitwise equal to calling each
+        strategy method separately with the same (batch, rng, num). The
+        reference instead re-runs the full forward per strategy sweep
+        (scripts/evaluate.py:114-118, train.py:553-576); on the evaluate
+        CLI this cuts device passes per batch from len(strategies) to the
+        number of rng families present.
+
+        Returns {strategy: (out_abs, out_rel, probs, gen_idxs)}.
+        """
+        for s in strategies:
+            assert s in STRATEGIES, s
+        n = self.config.num_gens
+        out = {}
+        exp_fam = [s for s in strategies
+                   if s in ("expected", "uniform_expected", "smart_expected")]
+        if exp_fam:
+            run = self._run(batch, rng, num)
+            for s in exp_fam:
+                if s == "expected":
+                    out[s] = self._select_expected(run, num)
+                else:
+                    eps = 0.0 if s == "uniform_expected" else 1.0 / n
+                    out[s] = self._select_uniform(run, num, eps)
+        samp_fam = [s for s in strategies
+                    if s in ("smart_sampling", "uniform_sampling")]
+        if samp_fam:
+            k1, k2 = jax.random.split(rng)
+            run = self._run(batch, k1, num)
+            for s in samp_fam:
+                eps = 0.0 if s == "uniform_sampling" else 1.0 / n**2
+                out[s] = self._select_smart_sampling(run, k2, num, eps)
+        if "sampling" in strategies:
+            out["sampling"] = self.predict(batch, rng, num)
+        if "rejection" in strategies:
+            out["rejection"] = self.predict_rejection(batch, rng, num)
+        return out
 
     def predict_rejection(self, batch, rng, num=20, sigma=1e-3, n_estimate=10,
                           truncation_ratio=0.7):

@@ -92,6 +92,26 @@ def test_all_strategies_shapes(small_model, strategy):
     assert np.isfinite(np.asarray(out_abs)).all()
 
 
+def test_predict_multi_matches_strategy_methods(small_model):
+    """predict_multi shares decode passes within rng families but must be
+    bitwise equal to the standalone per-strategy methods."""
+    cfg, pred, loader = small_model
+    batch = loader.make_batch(np.arange(4))
+    from mggan_tpu.data.augment import augment_batch
+
+    mb = augment_batch(jax.random.PRNGKey(0),
+                       {k: v for k, v in batch.items()
+                        if k not in ("scale", "window_idx")}, train=False)
+    mb = {"xy": mb["xy"], "ped_mask": mb["ped_mask"], "patches": mb["patches"]}
+    rng = jax.random.PRNGKey(3)
+    strategies = tuple(s for s in STRATEGIES if s != "rejection")
+    multi = pred.predict_multi(mb, rng, strategies, num=5)
+    for s in strategies:
+        ref = pred.get_predict_func(s)(mb, rng, num=5)
+        for a, b in zip(multi[s], ref):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_rejection_strategy():
     cfg = Config(dataset="synthetic_memory", num_gens=1, num_samples=4,
                  h_dim=16, decoder_h_dim=16, gan_type="gan",
