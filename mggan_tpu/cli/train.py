@@ -17,6 +17,11 @@ from mggan_tpu.utils.logging import ExperimentWriter
 
 def main(argv=None):
     args = get_parser().parse_args(argv)
+    # Join the pod (if any) BEFORE any device/backend touch: process_count
+    # drives the elastic data shards and global-batch assembly downstream.
+    from mggan_tpu.parallel.pod import maybe_init_from_args
+
+    maybe_init_from_args(args)
     config = config_from_args(args)
 
     if config.checkpoint:

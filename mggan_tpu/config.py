@@ -223,6 +223,11 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--patch_bank", type=int, default=d.patch_bank)
     p.add_argument("--pallas_decoder", type=int, default=d.pallas_decoder)
     p.add_argument("--compilation_cache_dir", type=str, default=d.compilation_cache_dir)
+    # Launch-time pod topology (parallel/pod.py) — runtime flags, not model
+    # config: Config.from_dict drops them so they never persist.
+    from mggan_tpu.parallel.pod import add_pod_args
+
+    add_pod_args(p)
     return p
 
 

@@ -83,6 +83,11 @@ def get_dataloader(
             process_index = jax.process_index()
             process_count = jax.process_count()
         global_windows = len(ds)
+        if max_peds is None:
+            # Resolve the padded ped axis from the GLOBAL dataset before
+            # sharding: deriving it per-shard would give hosts different
+            # (S, P) program shapes and break SPMD lockstep.
+            max_peds = max((len(t) for t in ds.trajectories), default=1)
         ds = elastic.shard_windows(ds, process_index, process_count)
         num_batches = elastic.lockstep_batches(
             global_windows, process_count, batch_size

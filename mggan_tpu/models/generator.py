@@ -167,6 +167,27 @@ def pm_logits(params, spec: GeneratorSpec, enc_h):
     return jnp.broadcast_to(prior, enc_h.shape[:-1] + (spec.num_gens,))
 
 
+def _broadcast_decoder_inputs(params, last_xy, last_dxdy, enc_h,
+                              social_feats, noise):
+    """Broadcast per-agent tensors over the K noise samples and flatten to
+    (k*s*p)-major rows — the shared decode prologue. Row order here defines
+    the flattening every consumer (decode_all's reshape, decode_select's
+    gen_idxs one-hot) relies on.
+
+    Returns (xy_b, dxdy_b, social_b, h0) with leading axis n = k*s*p.
+    """
+    k, s, p, _ = noise.shape
+    n = k * s * p
+    enc_b = jnp.broadcast_to(enc_h[None], (k,) + enc_h.shape)
+    flat = lambda x: x.reshape((n,) + x.shape[3:])
+    social_b = flat(jnp.broadcast_to(social_feats[None], (k,) + social_feats.shape))
+    xy_b = flat(jnp.broadcast_to(last_xy[None], (k,) + last_xy.shape))
+    dxdy_b = flat(jnp.broadcast_to(last_dxdy[None], (k,) + last_dxdy.shape))
+    inp = jnp.concatenate([enc_b, noise], axis=-1)
+    h0 = flat(mlp_apply(params["enc_to_dec"], inp))
+    return xy_b, dxdy_b, social_b, h0
+
+
 def decode_all(params, spec: GeneratorSpec, last_xy, last_dxdy, enc_h,
                social_feats, noise, compute_dtype=None, use_pallas=True):
     """Run every generator on every noise sample (standard.py:227-265).
@@ -186,15 +207,17 @@ def decode_all(params, spec: GeneratorSpec, last_xy, last_dxdy, enc_h,
     k, s, p, _ = noise.shape
     n = k * s * p
 
-    enc_b = jnp.broadcast_to(enc_h[None], (k,) + enc_h.shape)
-    flat = lambda x: x.reshape((n,) + x.shape[3:])
-    social_b = flat(jnp.broadcast_to(social_feats[None], (k,) + social_feats.shape))
-    xy_b = flat(jnp.broadcast_to(last_xy[None], (k,) + last_xy.shape))
-    dxdy_b = flat(jnp.broadcast_to(last_dxdy[None], (k,) + last_dxdy.shape))
-
     if spec.discrete:
         # One shared decoder; generator identity enters through an embedded
-        # one-hot appended to enc_h (standard_discrete.py:168-223).
+        # one-hot appended to enc_h (standard_discrete.py:168-223). The
+        # prologue differs from _broadcast_decoder_inputs: h0 is computed
+        # per generator with the one-hot embedding in the concat.
+        enc_b = jnp.broadcast_to(enc_h[None], (k,) + enc_h.shape)
+        flat = lambda x: x.reshape((n,) + x.shape[3:])
+        social_b = flat(
+            jnp.broadcast_to(social_feats[None], (k,) + social_feats.shape))
+        xy_b = flat(jnp.broadcast_to(last_xy[None], (k,) + last_xy.shape))
+        dxdy_b = flat(jnp.broadcast_to(last_dxdy[None], (k,) + last_dxdy.shape))
         eye = jnp.eye(spec.num_gens)
         enc_flat = flat(enc_b)
         noise_flat = flat(noise)
@@ -211,8 +234,9 @@ def decode_all(params, spec: GeneratorSpec, last_xy, last_dxdy, enc_h,
 
         abs_g, rel_g = jax.vmap(decode_gen)(eye)  # (G, N, T, 2)
     else:
-        inp = jnp.concatenate([enc_b, noise], axis=-1)
-        h0 = flat(mlp_apply(params["enc_to_dec"], inp))
+        xy_b, dxdy_b, social_b, h0 = _broadcast_decoder_inputs(
+            params, last_xy, last_dxdy, enc_h, social_feats, noise
+        )
         if spec.use_pallas and use_pallas and jax.default_backend() == "tpu":
             from mggan_tpu.ops.pallas.decoder import pallas_decode_all
 
@@ -274,15 +298,12 @@ def decode_select(params, spec: GeneratorSpec, last_xy, last_dxdy, enc_h,
     from mggan_tpu.ops.pallas.decoder import pallas_decode_select
 
     n = k * s * p
-    enc_b = jnp.broadcast_to(enc_h[None], (k,) + enc_h.shape)
-    flat = lambda x: x.reshape((n,) + x.shape[3:])
-    social_b = flat(jnp.broadcast_to(social_feats[None], (k,) + social_feats.shape))
-    xy_b = flat(jnp.broadcast_to(last_xy[None], (k,) + last_xy.shape))
-    dxdy_b = flat(jnp.broadcast_to(last_dxdy[None], (k,) + last_dxdy.shape))
-    inp = jnp.concatenate([enc_b, noise], axis=-1)
-    h0 = flat(mlp_apply(params["enc_to_dec"], inp))
+    xy_b, dxdy_b, social_b, h0 = _broadcast_decoder_inputs(
+        params, last_xy, last_dxdy, enc_h, social_feats, noise
+    )
 
     # rows are (k, s, p)-major, exactly decode_all's flattening
+    # (_broadcast_decoder_inputs is shared, so they cannot diverge)
     idx_flat = jnp.moveaxis(gen_idxs, -1, 0).reshape(n)
     onehot = jax.nn.one_hot(idx_flat, spec.num_gens, dtype=jnp.float32)
     abs_sel, rel_sel = pallas_decode_select(

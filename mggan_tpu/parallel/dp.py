@@ -34,9 +34,10 @@ def pad_scenes_to_multiple(batch, multiple: int):
 
     if isinstance(batch, dict):
         # window_idx uses -1 as the "empty scene" sentinel (batcher.py);
-        # zero-padding would alias window 0.
+        # zero-padding would alias window 0. None leaves (e.g. patches on
+        # image-free datasets) pass through untouched.
         return {
-            k: pad(v, fill=-1 if k == "window_idx" else 0)
+            k: v if v is None else pad(v, fill=-1 if k == "window_idx" else 0)
             for k, v in batch.items()
         }
     return jax.tree.map(pad, batch)
@@ -48,7 +49,10 @@ def make_parallel_train_step(config, g_spec, d_spec, mesh, state, example_batch,
 
     ``state`` is re-laid-out according to the mesh; call the returned step
     with batches laid out by ``shard_batch`` (or plain host arrays — jit will
-    move them).
+    move them). On a multi-process pod the device_put relies on every host
+    holding an identical ``state`` (guaranteed: init is PRNG-keyed from the
+    config seed and checkpoint restores are deterministic), so each host's
+    addressable portion of the replicated layout comes from its local copy.
     """
     impl = build_train_step(config, g_spec, d_spec, jit=False)
     st_sh = state_shardings(mesh, state)
@@ -72,8 +76,28 @@ def shard_batch(mesh, batch):
     it does not (e.g. ``batch_size`` not divisible by ``--dp``), empty
     masked scenes are appended first. All batches of an epoch therefore
     share one padded shape -> one compiled program.
+
+    Single-process: a plain device_put of the (global == local) batch.
+    Multi-process: ``batch`` is this host's LOCAL rows (the disjoint
+    per-process window shard from data/elastic.py); the global array is
+    assembled via ``make_array_from_process_local_data`` — device_put'ing
+    a local batch as if it were global would silently drop every row
+    outside this host's addressable shard. Local rows are padded to the
+    per-process shard multiple so all shards stay equal-sized.
     """
     from mggan_tpu.parallel.mesh import data_shard_count
 
-    batch = pad_scenes_to_multiple(batch, data_shard_count(mesh))
-    return jax.device_put(batch, batch_shardings(mesh, batch))
+    procs = jax.process_count()
+    if procs == 1:
+        batch = pad_scenes_to_multiple(batch, data_shard_count(mesh))
+        return jax.device_put(batch, batch_shardings(mesh, batch))
+
+    from mggan_tpu.data.elastic import make_global_batch
+
+    shards = data_shard_count(mesh)
+    assert shards % procs == 0, (
+        f"data shards ({shards}) must distribute evenly over "
+        f"processes ({procs})"
+    )
+    batch = pad_scenes_to_multiple(batch, shards // procs)
+    return make_global_batch(batch, mesh)

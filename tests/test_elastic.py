@@ -65,6 +65,50 @@ def test_lockstep_padding_is_masked():
         assert (b["window_idx"] == -1).all()
 
 
+def test_sharded_loader_uses_global_max_peds():
+    """max_peds must come from the GLOBAL dataset, not the local shard:
+    per-shard derivation would give hosts different (S, P) program shapes
+    and break SPMD lockstep (collectives mismatch across the pod)."""
+    from mggan_tpu.data.loaders import get_dataset
+
+    global_max = max(
+        len(t) for t in get_dataset("synthetic_memory", "train").trajectories
+    )
+    loaders = [
+        get_dataloader(
+            "synthetic_memory", "train", batch_size=2,
+            shard_by_process=True, process_index=p, process_count=16,
+        )
+        for p in range(16)
+    ]
+    shard_maxes = [max(len(t) for t in ld.ds.trajectories) for ld in loaders]
+    # at least one local shard must lack a global-max scene, else vacuous
+    assert min(shard_maxes) < global_max
+    assert all(ld.max_peds == global_max for ld in loaders)
+
+
+def test_pad_scenes_preserves_sentinels_and_none():
+    """pad_scenes_to_multiple pads window_idx with the -1 empty-scene
+    sentinel (zero would alias window 0) and passes None leaves (image-free
+    datasets) through untouched."""
+    import jax.numpy as jnp
+
+    from mggan_tpu.parallel import dp
+
+    batch = {
+        "xy": jnp.ones((3, 2, 20, 2)),
+        "ped_mask": jnp.ones((3, 2), bool),
+        "window_idx": jnp.arange(3),
+        "patches": None,
+    }
+    padded = dp.pad_scenes_to_multiple(batch, 4)
+    assert padded["patches"] is None
+    assert padded["xy"].shape[0] == 4
+    np.testing.assert_array_equal(np.asarray(padded["window_idx"]),
+                                  [0, 1, 2, -1])
+    assert not bool(padded["ped_mask"][3].any())
+
+
 def test_make_global_batch_single_process_mesh():
     import jax
 
