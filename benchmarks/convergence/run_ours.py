@@ -78,6 +78,7 @@ def main():
 
     from mggan_tpu.data.loaders import get_dataloader
     from mggan_tpu.eval.evaluate import evaluate_ade_fde, get_predictions_multi
+    from mggan_tpu.eval.manifold import evaluate_precision_recall
     from mggan_tpu.training.loop import Trainer
 
     trainer, config = Trainer.load_from_path(version_dir, "best")
@@ -88,8 +89,13 @@ def main():
     )
     results = {}
     for strat in args.strategies:
-        m = evaluate_ade_fde(loader.ds, preds_by_strat[strat], args.eval_ks)
-        results[strat] = {k: float(v) for k, v in dict(m).items()}
+        m = dict(evaluate_ade_fde(loader.ds, preds_by_strat[strat], args.eval_ks))
+        try:
+            m.update(evaluate_precision_recall(
+                loader.ds, preds_by_strat[strat], 3.0, args.eval_ks))
+        except Exception as e:  # pragma: no cover
+            print("precision/recall failed:", e)
+        results[strat] = {k: float(v) for k, v in m.items()}
         print(strat, results[strat])
 
     # epoch log from the writer's metrics CSV/JSONL

@@ -145,7 +145,7 @@ def main():
     from mggan.model.model_factory import construct_model
     from mggan.model.train import PiNetMultiGeneratorGAN
     from mggan.data_utils.data_loaders import get_dataloader
-    from mggan.evaluation import evaluate_ade_fde
+    from mggan.evaluation import evaluate_ade_fde, evaluate_precision_recall
 
     cfg = get_parser().parse_args(
         [
@@ -183,7 +183,14 @@ def main():
     results = {}
     for strat in args.strategies:
         preds = model.get_predictions(test_loader, max(args.eval_ks), strategy=strat)
-        m = evaluate_ade_fde(test_loader.dataset, preds, args.eval_ks)
+        m = dict(evaluate_ade_fde(test_loader.dataset, preds, args.eval_ks))
+        # Manifold math is pure numpy (shapely is plotting-only), so P/R runs
+        # under the stub; guard anyway so a failure doesn't lose ADE/FDE.
+        try:
+            m.update(evaluate_precision_recall(
+                test_loader.dataset, preds, 3.0, args.eval_ks))
+        except Exception as e:  # pragma: no cover
+            print("precision/recall failed:", e)
         results[strat] = {k: float(v) for k, v in m.items()}
         print(strat, results[strat])
 
