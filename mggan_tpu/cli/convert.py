@@ -20,6 +20,14 @@ Optimizer moments in the .pth are NOT converted (optax/AdamW state is
 incompatible with torch Adam's by design); the converted dir is for
 evaluation and fine-tuning-from-weights, which is what released
 checkpoints are for.
+
+The reverse direction also works — export a version dir trained HERE as a
+reference-format torch checkpoint (models/torch_export.py) that the
+reference's ``PiNetMultiGeneratorGAN.load_from_path`` consumes:
+
+    python -m mggan_tpu.cli.convert --reverse \
+        --version_dir logs/multi_generator/<name>/version_N \
+        --out_dir ref_logs
 """
 
 from __future__ import annotations
@@ -95,9 +103,31 @@ def convert_torch_checkpoint(
     return writer.dir
 
 
+def export_torch_checkpoint(version_dir, out_dir, checkpoint="best",
+                            version=0, checkpoint_name="checkpoint_best"):
+    """Reverse conversion: our version dir -> reference-format torch version
+    dir (meta_tags.csv + checkpoints/<name>.pth). Returns the created dir."""
+    from mggan_tpu.models.torch_export import export_version_dir
+    from mggan_tpu.training.loop import Trainer
+
+    trainer, config = Trainer.load_from_path(version_dir, checkpoint)
+    vdir = export_version_dir(
+        out_dir, config, trainer.g_spec, trainer.d_spec, trainer.state,
+        version=version, checkpoint_name=checkpoint_name,
+    )
+    print(f"exported -> {vdir}")
+    return vdir
+
+
 def main(argv=None):
     p = ArgumentParser(description=__doc__)
-    p.add_argument("--pth", required=True, help="reference checkpoint_*.pth")
+    p.add_argument("--reverse", action="store_true",
+                   help="export our version dir as a reference .pth dir")
+    p.add_argument("--version_dir", default=None,
+                   help="(--reverse) our trained version dir")
+    p.add_argument("--checkpoint", default="best",
+                   help="(--reverse) which checkpoint to export")
+    p.add_argument("--pth", default=None, help="reference checkpoint_*.pth")
     p.add_argument(
         "--meta_tags", default=None,
         help="reference meta_tags.csv (defaults to ../meta_tags.csv "
@@ -112,6 +142,15 @@ def main(argv=None):
              "dataset=eth num_gens=4)",
     )
     args = p.parse_args(argv)
+
+    if args.reverse:
+        assert args.version_dir, "--reverse requires --version_dir"
+        export_torch_checkpoint(
+            args.version_dir, args.out_dir, checkpoint=args.checkpoint,
+            version=args.version, checkpoint_name=args.checkpoint_name,
+        )
+        return
+    assert args.pth, "--pth is required (or use --reverse)"
 
     meta = args.meta_tags
     if meta is None:
