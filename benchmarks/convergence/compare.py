@@ -1,14 +1,16 @@
-"""Render the convergence-parity comparison table from the two runners'
+"""Render the convergence-parity comparison table from the runners'
 results.json files.
 
     python benchmarks/convergence/compare.py \
-        --ref /tmp/mggan_convergence/ref/results.json \
-        --ours /tmp/mggan_convergence/ours/results.json \
+        --results /tmp/mggan_convergence/ref/results.json \
+                  /tmp/mggan_convergence/ours/results.json \
+                  /tmp/mggan_convergence/ours/results_in_reference.json \
+                  /tmp/mggan_convergence/ref/results_in_ours.json \
         [--out benchmarks/convergence/results_summary.json]
 
-Prints a markdown table (metric x framework) per strategy and writes a
-machine-readable summary with relative deltas (ours vs reference; negative
-delta = ours better on ADE/FDE, positive better on Mode).
+Prints one markdown table per strategy (metric x framework column) and
+writes a machine-readable summary. The first results file is the baseline
+for the relative-delta column of the second (negative = better on ADE/FDE).
 """
 
 from __future__ import annotations
@@ -18,46 +20,68 @@ import json
 from pathlib import Path
 
 LOWER_IS_BETTER = ("ADE", "FDE")
+DEFAULT_RESULTS = [
+    "/tmp/mggan_convergence/ref/results.json",
+    "/tmp/mggan_convergence/ours/results.json",
+    "/tmp/mggan_convergence/ours/results_in_reference.json",
+    "/tmp/mggan_convergence/ref/results_in_ours.json",
+]
+
+
+def _metric_sort_key(k):
+    name, _, kk = k.partition(" k=")
+    return (name, int(kk) if kk else 0)
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--ref", default="/tmp/mggan_convergence/ref/results.json")
-    ap.add_argument("--ours", default="/tmp/mggan_convergence/ours/results.json")
+    ap.add_argument("--results", nargs="+", default=DEFAULT_RESULTS)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
-    ref = json.loads(Path(args.ref).read_text())
-    ours = json.loads(Path(args.ours).read_text())
+    runs = []
+    for p in args.results:
+        if Path(p).is_file():
+            runs.append(json.loads(Path(p).read_text()))
+        else:
+            print(f"(skipping missing {p})")
+    assert len(runs) >= 2, "need at least two results files"
 
-    assert ref["config"] == ours["config"], (
-        f"hyperparameters differ: {ref['config']} vs {ours['config']}"
+    base, second = runs[0], runs[1]
+    assert base["config"] == second["config"], (
+        f"hyperparameters differ: {base['config']} vs {second['config']}"
     )
+    names = [r["framework"] for r in runs]
 
-    summary = {"config": ref["config"],
-               "train_seconds": {"reference": ref["train_seconds"],
-                                 "ours": ours["train_seconds"]},
-               "strategies": {}}
-    for strat in ref["test_metrics"]:
-        if strat not in ours["test_metrics"]:
-            continue
-        rm, om = ref["test_metrics"][strat], ours["test_metrics"][strat]
-        keys = [k for k in rm if k in om]
+    summary = {
+        "config": base["config"],
+        "train_seconds": {r["framework"]: r.get("train_seconds") for r in runs},
+        "strategies": {},
+    }
+    strategies = [s for s in base["test_metrics"] if s in second["test_metrics"]]
+    for strat in strategies:
+        tables = [r["test_metrics"].get(strat, {}) for r in runs]
+        keys = sorted(
+            (k for k in tables[0] if all(k in t for t in tables[:2])),
+            key=_metric_sort_key,
+        )
         print(f"\n### strategy: {strat}\n")
-        print("| metric | reference (torch) | mggan_tpu | delta |")
-        print("|---|---|---|---|")
+        print("| metric | " + " | ".join(names) + " | delta (2nd vs 1st) |")
+        print("|---" * (len(names) + 2) + "|")
         rows = {}
-        for k in sorted(keys):
-            rv, ov = rm[k], om[k]
+        for k in keys:
+            vals = [t.get(k) for t in tables]
+            rv, ov = vals[0], vals[1]
             delta = (ov - rv) / rv if rv else float("nan")
-            better = (ov <= rv) if k.startswith(LOWER_IS_BETTER) else (ov >= rv)
-            mark = "ours" if better else "ref"
-            print(f"| {k} | {rv:.4f} | {ov:.4f} | {delta:+.1%} ({mark}) |")
-            rows[k] = {"reference": rv, "ours": ov, "rel_delta": delta}
+            cells = " | ".join("—" if v is None else f"{v:.4f}" for v in vals)
+            print(f"| {k} | {cells} | {delta:+.1%} |")
+            rows[k] = {n: v for n, v in zip(names, vals)}
+            rows[k]["rel_delta"] = delta
         summary["strategies"][strat] = rows
 
-    print(f"\ntrain wall: reference {ref['train_seconds']:.0f}s, "
-          f"ours {ours['train_seconds']:.0f}s")
+    print("\ntrain wall: " + ", ".join(
+        f"{r['framework']} {r.get('train_seconds', float('nan')):.0f}s"
+        for r in runs if "train_seconds" in r))
     if args.out:
         Path(args.out).write_text(json.dumps(summary, indent=2))
         print("wrote", args.out)
