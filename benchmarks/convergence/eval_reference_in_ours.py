@@ -45,17 +45,20 @@ def main():
     from mggan_tpu.cli.convert import convert_torch_checkpoint
 
     # the shared hyperparameters run_reference.py trained with (its stub
-    # writer does not emit meta_tags.csv, so pass them explicitly)
+    # writer does not emit meta_tags.csv, so pass them explicitly); extra
+    # flags recorded in the results config (e.g. experiment=discrete) pass
+    # through, string-coerced like meta_tags values would be
+    from mggan_tpu.utils.logging import _convert
+
     overrides = {
         "name": "convergence_ref_imported",
         "dataset": "eth",
-        "num_gens": cfg["num_gens"],
-        "num_samples": cfg["num_samples"],
-        "batch_size": cfg["batch_size"],
-        "epochs": cfg["epochs"],
         "augment": 0,
         "data_root": str(Path(args.data) / "data" / "datasets"),
     }
+    for k, v in cfg.items():
+        if k != "seed":
+            overrides[k] = _convert(v) if isinstance(v, str) else v
     vdir = convert_torch_checkpoint(
         pth, Path(args.ref_out) / "imported_ours_format",
         overrides=overrides, checkpoint_name="checkpoint_best",

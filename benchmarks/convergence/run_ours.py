@@ -37,7 +37,10 @@ def main():
     ap.add_argument("--eval_ks", type=int, nargs="+", default=[1, 5, 10, 20])
     ap.add_argument("--strategies", nargs="+",
                     default=["sampling", "expected", "smart_expected"])
+    ap.add_argument("--extra", nargs="*", default=[], metavar="KEY=VALUE",
+                    help="additional shared flags (mirror run_reference.py)")
     args = ap.parse_args()
+    extra = dict(kv.split("=", 1) for kv in args.extra)
 
     if args.platform == "cpu":
         import jax
@@ -66,12 +69,14 @@ def main():
             "--name", "convergence_ours",
             "--log_dir", str(out_dir / "logs"),
         ]
+        + [t for k, v in extra.items() for t in (f"--{k}", v)]
     )
     train_s = time.time() - t0
     print(f"mggan_tpu training: {train_s:.1f}s for {args.epochs} epochs")
 
     # locate the version dir the writer created
-    exp_dir = out_dir / "logs" / "multi_generator" / "convergence_ours"
+    experiment = extra.get("experiment", "multi_generator")
+    exp_dir = out_dir / "logs" / experiment / "convergence_ours"
     version_dirs = sorted(exp_dir.glob("version_*"))
     assert version_dirs, f"no version dir under {exp_dir}"
     version_dir = version_dirs[-1]
@@ -110,7 +115,7 @@ def main():
         "config": {
             "epochs": args.epochs, "batch_size": args.batch_size,
             "num_gens": args.num_gens, "num_samples": args.num_samples,
-            "seed": args.seed,
+            "seed": args.seed, **extra,
         },
         "train_seconds": train_s,
         "epoch_log": epoch_log,

@@ -111,7 +111,12 @@ def main():
     ap.add_argument("--eval_ks", type=int, nargs="+", default=[1, 5, 10, 20])
     ap.add_argument("--strategies", nargs="+",
                     default=["sampling", "expected", "smart_expected"])
+    ap.add_argument("--extra", nargs="*", default=[], metavar="KEY=VALUE",
+                    help="additional shared flags passed to the trainer "
+                         "(e.g. --extra experiment=discrete gan_type=mgan); "
+                         "recorded in the results config for comparability")
     args = ap.parse_args()
+    extra = dict(kv.split("=", 1) for kv in args.extra)
 
     _OUT_DIR = Path(args.out)
     _OUT_DIR.mkdir(parents=True, exist_ok=True)
@@ -160,6 +165,7 @@ def main():
             "--save_every", str(max(args.epochs, 1)),
             "--name", "convergence_ref",
         ]
+        + [t for k, v in extra.items() for t in (f"--{k}", v)]
     )
 
     torch.manual_seed(args.seed)
@@ -199,7 +205,7 @@ def main():
         "config": {
             "epochs": args.epochs, "batch_size": args.batch_size,
             "num_gens": args.num_gens, "num_samples": args.num_samples,
-            "seed": args.seed,
+            "seed": args.seed, **extra,
         },
         "train_seconds": train_s,
         "epoch_log": _LOGGED,
