@@ -48,9 +48,10 @@ def main():
     assert len(runs) >= 2, "need at least two results files"
 
     base, second = runs[0], runs[1]
-    assert base["config"] == second["config"], (
+    strip = lambda c: {k: v for k, v in c.items() if k != "seed"}
+    assert strip(base["config"]) == strip(second["config"]), (
         f"hyperparameters differ: {base['config']} vs {second['config']}"
-    )
+    )  # seeds may differ on purpose (GAN run-to-run variance is reported)
     names = [r["framework"] for r in runs]
 
     summary = {

@@ -19,8 +19,9 @@ import argparse
 import json
 from pathlib import Path
 
-# validated default palette (dataviz references/palette.md, light mode)
-SERIES = ["#2a78d6", "#eb6834"]  # slot 1 blue, slot 2 orange (fixed order)
+# validated default palette (dataviz references/palette.md, light mode),
+# fixed slot order 1-3 (blue, orange, aqua) — never cycled past the data
+SERIES = ["#2a78d6", "#eb6834", "#1baf7a"]
 SURFACE = "#fcfcfb"
 INK = "#0b0b0b"
 INK_2 = "#52514e"
@@ -41,11 +42,15 @@ def _curve(results):
 def main():
     ap = argparse.ArgumentParser()
     here = Path(__file__).parent
-    ap.add_argument("--results", nargs=2, default=[
+    ap.add_argument("--results", nargs="+", default=[
         str(here / "results" / "reference.json"),
         str(here / "results" / "ours.json"),
     ])
+    ap.add_argument("--labels", nargs="+", default=None,
+                    help="override the per-file legend labels")
     ap.add_argument("--out", default=str(here / "results" / "curves.png"))
+    ap.add_argument("--title",
+                    default="Validation ADE k=20 — identical data & hyperparameters")
     args = ap.parse_args()
 
     import matplotlib
@@ -68,7 +73,10 @@ def main():
         xs, ys = _curve(run)
         if not xs:
             continue
-        name = labels.get(run["framework"], run["framework"])
+        if args.labels:
+            name = args.labels[i]
+        else:
+            name = labels.get(run["framework"], run["framework"])
         c = SERIES[i % len(SERIES)]
         ax.plot(xs, ys, color=c, linewidth=2, marker="o", markersize=4.5,
                 label=name, zorder=3)
@@ -77,8 +85,7 @@ def main():
                     textcoords="offset points", xytext=(6, -2),
                     color=INK_2, fontsize=8.5, zorder=4)
 
-    ax.set_title("Validation ADE k=20 — identical data & hyperparameters",
-                 color=INK, fontsize=11, loc="left")
+    ax.set_title(args.title, color=INK, fontsize=11, loc="left")
     ax.set_xlabel("epoch", color=INK_2, fontsize=9.5)
     ax.set_ylabel("val ADE k=20 (m)", color=INK_2, fontsize=9.5)
     ax.tick_params(colors=INK_2, labelsize=8.5)
