@@ -32,7 +32,13 @@ class PaddedBatcher:
         self.ds = ds
         self.batch_size = batch_size
         self.shuffle = shuffle
-        self.rng = np.random.RandomState(seed)
+        # Epoch order is a pure function of (seed, epoch) so a resumed run
+        # replays the exact batch stream of an uninterrupted one (the
+        # reference's torch DataLoader reshuffles from global RNG state and
+        # cannot): the Trainer pins the epoch via set_epoch(); standalone
+        # iteration advances the counter itself.
+        self.seed = seed
+        self._epoch = 0
         self.pad_final = pad_final
         # SPMD lockstep (data/elastic.py): force this many batches per
         # epoch, padding trailing all-masked empty batches if the local
@@ -79,10 +85,19 @@ class PaddedBatcher:
     def num_windows(self):
         return len(self.ds)
 
+    def set_epoch(self, epoch: int):
+        """Pin the shuffle order of the NEXT ``__iter__`` to ``epoch``
+        (same contract as torch's ``DistributedSampler.set_epoch``)."""
+        self._epoch = int(epoch)
+
     def __iter__(self):
         order = np.arange(len(self.ds))
         if self.shuffle:
-            self.rng.shuffle(order)
+            epoch_rng = np.random.RandomState(
+                (self.seed * 1_000_003 + self._epoch) % (2**31 - 1)
+            )
+            epoch_rng.shuffle(order)
+        self._epoch += 1
         bs, p = self.batch_size, self.max_peds
         for i in range(0, len(order), bs):
             idxs = order[i : i + bs]

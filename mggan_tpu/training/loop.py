@@ -73,7 +73,10 @@ class Trainer:
             self.train_step = build_train_step(config, self.g_spec, self.d_spec)
         self._precompiled = False
         self._predictor = None
-        self._aug_rng = np.random.RandomState(config.seed + 1)
+        # Augmentation keys are derived per (epoch, batch) in train() —
+        # stateless, so resuming from a checkpoint replays the exact key
+        # stream of an uninterrupted run (tests/test_determinism_ckpt.py).
+        self._aug_base = jax.random.PRNGKey(config.seed + 1)
         from mggan_tpu.utils.trajectory_tools import GradNormLogger
 
         self._grad_logger = GradNormLogger()
@@ -105,8 +108,8 @@ class Trainer:
         self._predictor.g_state = self.state.g_state
         return self._predictor
 
-    def _device_batch(self, batch, train: bool):
-        rng = jax.random.PRNGKey(self._aug_rng.randint(2**31))
+    def _device_batch(self, batch, train: bool, aug_key=None):
+        rng = self._aug_base if aug_key is None else aug_key
         full = self._augment(rng, {k: v for k, v in batch.items()
                                    if k not in ("scale", "window_idx")}, train)
         model_batch = {
@@ -116,7 +119,14 @@ class Trainer:
         }
         return model_batch
 
-    def train(self):
+    def train(self, until_epoch: int | None = None):
+        """Run the epoch loop to ``config.epochs``.
+
+        until_epoch: stop (and checkpoint) after this epoch — a preemption
+            drill: ``train(until_epoch=k)`` + ``load_from_path`` +
+            ``train()`` replays the identical batch/augment/weight stream
+            as one uninterrupted ``train()`` (test_determinism_ckpt.py).
+        """
         cfg = self.config
         mp = cfg.max_peds or None
         # On a mesh the bank is replicated across devices so batch gathers
@@ -153,9 +163,14 @@ class Trainer:
             epoch_t0 = _time.perf_counter()
             n_steps = 0
             n_real_agents = 0
-            for batch in Prefetcher(train_loader):
+            train_loader.set_epoch(epoch)
+            epoch_key = jax.random.fold_in(self._aug_base, epoch)
+            for i, batch in enumerate(Prefetcher(train_loader)):
                 n_real_agents += int(np.asarray(batch["ped_mask"]).sum())
-                model_batch = self._device_batch(batch, train=bool(cfg.augment))
+                model_batch = self._device_batch(
+                    batch, train=bool(cfg.augment),
+                    aug_key=jax.random.fold_in(epoch_key, i),
+                )
                 if self._mesh is not None:
                     from mggan_tpu.parallel import dp as dp_mod
 
@@ -231,6 +246,9 @@ class Trainer:
             self.state = self.state.replace(
                 l2_weight=self.state.l2_weight * cfg.l2_decay_rate
             )
+            if until_epoch is not None and epoch + 1 >= until_epoch:
+                self.save()
+                break
         return self
 
     def check_accuracy(self, loader, num_k=20, predict_strategy="sampling"):

@@ -62,6 +62,35 @@ def test_checkpoint_roundtrip_exact(tmp_path):
         assert float(m1[k]) == float(m2[k]), k
 
 
+def test_preemption_resume_replays_uninterrupted_run(tmp_path):
+    """Preemption drill: train(until_epoch=1) + load_from_path + train()
+    must produce bit-identical final state to one uninterrupted train().
+
+    This requires (a) batch order a pure function of (seed, epoch)
+    (PaddedBatcher.set_epoch) and (b) stateless per-(epoch, batch)
+    augmentation keys — the reference's torch DataLoader + global RNG
+    cannot replay either after a restart (abstract_train.py:13-22 only
+    seeds process start)."""
+    kw = dict(val_every=5, save_every=5, augment=1)
+
+    tr_a, _ = make_trainer(tmp_path, version=14, **kw)
+    tr_a.train()
+
+    tr_b, cfg = make_trainer(tmp_path, version=15, **kw)
+    tr_b.train(until_epoch=1)
+    assert int(tr_b.state.epoch) == 1
+
+    tr_c, _ = Trainer.load_from_path(tr_b.writer.dir, checkpoint="latest")
+    assert int(tr_c.state.epoch) == 1
+    tr_c.train()
+
+    leaves_a = jax.tree.leaves(jax.device_get(tr_a.state))
+    leaves_c = jax.tree.leaves(jax.device_get(tr_c.state))
+    assert len(leaves_a) == len(leaves_c)
+    for a, c in zip(leaves_a, leaves_c):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
 def test_sharded_prediction_matches_single(tmp_path):
     tr, cfg = make_trainer(tmp_path, version=13)
     loader = get_dataloader("synthetic_memory", "val", batch_size=4)
