@@ -1,0 +1,120 @@
+"""Inference CLI: serve an exported artifact (or version dir) over HTTP, or
+run offline batch prediction over a reference-format trajectory txt file.
+
+The reference's only inference surface is scripts/evaluate.py (metrics over
+its own datasets); this adds the deployment half: the model runs as a
+self-contained AOT artifact with request padding + micro-batching
+(serving/runtime.py), no model code or checkpoint needed at the endpoint.
+
+HTTP serving:
+    mggan-serve --artifact model.jaxexport --port 8000
+    mggan-serve --model_dir logs/.../version_1 --strategy sampling --port 8000
+
+Offline batch (txt in, npz out — observation-only 8-frame windows):
+    mggan-serve --artifact model.jaxexport --input obs.txt --output preds.npz
+    # obs.txt rows: frame ped_id x y (reference dataset format,
+    # BaseTrajectories.py:130-155; --txt_dataset picks the column schema)
+"""
+
+from __future__ import annotations
+
+from argparse import ArgumentParser
+from pathlib import Path
+
+import numpy as np
+
+from mggan_tpu.config import OBS_LEN
+
+
+def load_obs_windows(path, dataset: str | None = None):
+    """Parse a trajectory txt into observation-only scenes.
+
+    Slides 8-frame full-presence windows (the serving-time analog of the
+    20-frame training windows, data/parsing.py::window_scene) over the file.
+    Returns (list of (p_i, 8, 2) float32, list of (window_start_frame,
+    ped_ids) provenance tuples).
+    """
+    from mggan_tpu.data import parsing, registry
+
+    if dataset is not None:
+        info = registry.get_info(dataset)
+    else:  # generic whitespace (frame, ID, x, y) — the BIWI raw layout
+        import dataclasses
+
+        info = dataclasses.replace(
+            registry.get_info("eth"),
+            data_columns=["frame", "ID", "x", "y"], delim=r"\s+",
+        )
+    data = parsing.load_txt(Path(path), info)
+    windows = parsing.window_scene(data, skip=1, seq_len=OBS_LEN)
+    return [w[0] for w in windows], [w[1] for w in windows]
+
+
+def get_arg_parser():
+    p = ArgumentParser()
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--artifact", help="a .jaxexport file from mggan-export")
+    src.add_argument("--model_dir", help="a version_* dir (live, non-AOT path)")
+    p.add_argument("--strategy", default="sampling",
+                   help="prediction strategy (only for --model_dir)")
+    p.add_argument("--checkpoint", default="best")
+    p.add_argument("--scenes", type=int, default=64,
+                   help="compiled batch: max scenes per device call (--model_dir)")
+    p.add_argument("--peds", type=int, default=16)
+    p.add_argument("--num", type=int, default=20, help="samples per scene")
+    # HTTP mode
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--max_wait_ms", type=float, default=5.0,
+                   help="micro-batching window after the first request")
+    # offline mode
+    p.add_argument("--input", default=None,
+                   help="trajectory txt (frame id x y) -> offline batch mode")
+    p.add_argument("--txt_dataset", default=None,
+                   help="registry name for the txt column schema/delimiter")
+    p.add_argument("--output", default=None, help="output .npz path")
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def build_model(args):
+    from mggan_tpu.serving.runtime import ServingModel
+
+    if args.artifact:
+        return ServingModel.from_artifact(args.artifact)
+    return ServingModel.from_version_dir(
+        args.model_dir, strategy=args.strategy, scenes=args.scenes,
+        peds=args.peds, num=args.num, checkpoint=args.checkpoint,
+    )
+
+
+def main(argv=None):
+    args = get_arg_parser().parse_args(argv)
+    model = build_model(args)
+
+    if args.input:  # offline batch mode
+        assert args.output, "--input requires --output"
+        scenes, meta = load_obs_windows(args.input, args.txt_dataset)
+        if not scenes:
+            raise SystemExit(f"no full-presence {OBS_LEN}-frame windows in {args.input}")
+        preds = []
+        for i in range(0, len(scenes), model.scenes):
+            chunk = scenes[i : i + model.scenes]
+            preds.extend(model.predict_batch(chunk, seed=args.seed + i))
+        np.savez(
+            args.output,
+            **{f"window_{i:05d}": p for i, p in enumerate(preds)},
+            **{f"ped_ids_{i:05d}": ids for i, ids in enumerate(meta)},
+        )
+        print(f"{len(preds)} windows ({sum(p.shape[1] for p in preds)} agents) "
+              f"x {model.num} samples -> {args.output}")
+        return
+
+    from mggan_tpu.serving.server import serve_forever
+
+    serve_forever(model, host=args.host, port=args.port,
+                  max_wait_ms=args.max_wait_ms)
+
+
+if __name__ == "__main__":
+    main()

@@ -75,16 +75,20 @@ def load_txt(path: Path, info: registry.DatasetInfo) -> np.ndarray:
     return np.asarray(df[cols].values, dtype=np.float64)
 
 
-def window_scene(data: np.ndarray, skip: int = 1):
-    """Slide 20-frame windows; keep peds present in all 20 consecutive frames
-    (trajectories_scene.py:149-181).
+def window_scene(data: np.ndarray, skip: int = 1, seq_len: int = SEQ_LEN):
+    """Slide ``seq_len``-frame (default 20) windows; keep peds present in all
+    consecutive frames (trajectories_scene.py:149-181).
 
     Args:
         data: (rows, 4|5) (frame, ID, x, y[, is_active]).
+        seq_len: window length; ``seq_len=OBS_LEN`` yields observation-only
+            windows for serving-time inference (no futures in the file).
 
     Returns:
-        list of (xy (n,20,2) float32 [NaN future if inactive], ped_ids (n,)).
+        list of (xy (n,seq_len,2) float32 [NaN future if inactive],
+        ped_ids (n,)).
     """
+    SEQ_LEN = seq_len
     if len(data) == 0:
         return []
     frames = np.unique(data[:, 0])

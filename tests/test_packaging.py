@@ -16,7 +16,7 @@ def test_console_scripts_resolve():
     scripts = meta["project"]["scripts"]
     assert set(scripts) == {
         "mggan-train", "mggan-evaluate", "mggan-sweep",
-        "mggan-convert", "mggan-export",
+        "mggan-convert", "mggan-export", "mggan-serve",
     }
     for target in scripts.values():
         mod_name, func_name = target.split(":")
