@@ -38,7 +38,11 @@ def load_obs_windows(path, dataset: str | None = None):
 
     if dataset is not None:
         info = registry.get_info(dataset)
-    else:  # generic whitespace (frame, ID, x, y) — the BIWI raw layout
+    else:
+        # Generic whitespace (frame, ID, x, y). NOTE: real BIWI raw files
+        # store (frame, ID, y, x) (registry.py BIWI_COLUMNS,
+        # experiments.py:185) — pass --txt_dataset eth/hotel/... for
+        # registry schemas instead of relying on this fallback.
         import dataclasses
 
         info = dataclasses.replace(
@@ -46,7 +50,11 @@ def load_obs_windows(path, dataset: str | None = None):
             data_columns=["frame", "ID", "x", "y"], delim=r"\s+",
         )
     data = parsing.load_txt(Path(path), info)
-    windows = parsing.window_scene(data, skip=1, seq_len=OBS_LEN)
+    # inclusive: serving wants the window ending at the newest frame (and a
+    # file of exactly OBS_LEN frames = one window); the reference's ceil
+    # window count only matters for training parity.
+    windows = parsing.window_scene(data, skip=1, seq_len=OBS_LEN,
+                                   inclusive=True)
     return [w[0] for w in windows], [w[1] for w in windows]
 
 

@@ -75,7 +75,8 @@ def load_txt(path: Path, info: registry.DatasetInfo) -> np.ndarray:
     return np.asarray(df[cols].values, dtype=np.float64)
 
 
-def window_scene(data: np.ndarray, skip: int = 1, seq_len: int = SEQ_LEN):
+def window_scene(data: np.ndarray, skip: int = 1, seq_len: int = SEQ_LEN,
+                 inclusive: bool = False):
     """Slide ``seq_len``-frame (default 20) windows; keep peds present in all
     consecutive frames (trajectories_scene.py:149-181).
 
@@ -83,6 +84,12 @@ def window_scene(data: np.ndarray, skip: int = 1, seq_len: int = SEQ_LEN):
         data: (rows, 4|5) (frame, ID, x, y[, is_active]).
         seq_len: window length; ``seq_len=OBS_LEN`` yields observation-only
             windows for serving-time inference (no futures in the file).
+        inclusive: count windows as ``floor((F-L)/skip)+1`` so a file with
+            exactly ``seq_len`` frames yields one window and the window
+            ending at the newest frame is always produced. The default
+            ``ceil((F-L)/skip)`` reproduces the reference's training-window
+            count (trajectories_scene.py:156), which drops that final
+            window — serving-time consumers (cli/serve.py) want it.
 
     Returns:
         list of (xy (n,seq_len,2) float32 [NaN future if inactive],
@@ -108,7 +115,12 @@ def window_scene(data: np.ndarray, skip: int = 1, seq_len: int = SEQ_LEN):
     present = np.zeros((np_, nf), bool)
     present[pi, fi] = True
 
-    num_seq = int(np.ceil((nf - SEQ_LEN) / skip)) if nf >= SEQ_LEN else 0
+    if nf < SEQ_LEN:
+        num_seq = 0
+    elif inclusive:
+        num_seq = (nf - SEQ_LEN) // skip + 1
+    else:
+        num_seq = int(np.ceil((nf - SEQ_LEN) / skip))
     if num_seq <= 0:
         return []
 

@@ -104,6 +104,16 @@ def maybe_build_bank(
     assembly path)."""
     if not enabled or ds.big_patches is None:
         return None
+    if mesh is not None:
+        import jax
+
+        if jax.process_count() > 1:
+            # A mesh-replicated bank is a global array jax assumes holds
+            # IDENTICAL values on every process, but on a pod each host
+            # builds it from its own disjoint window shard
+            # (data/elastic.py) — the invariant would be silently violated.
+            # Fall back to host-side patch assembly for multi-host runs.
+            return None
     if bank_nbytes(len(ds.trajectories), max_peds) + live_bank_bytes() > max_bytes:
         return None
     bank = DevicePatchBank(ds, max_peds, mesh=mesh)

@@ -81,6 +81,32 @@ class MetricAccumulator:
         return {k: (s / n if n else float("nan")) for k, (s, n) in self.sums.items()}
 
 
+def allreduce_sums(sums):
+    """Sum per-process ``{key: (sum, count)}`` dicts across a
+    ``jax.distributed`` pod; identity when single-process.
+
+    Pod processes evaluate disjoint window shards (data/elastic.py), so the
+    exact global metric is the element-wise sum of every host's pairs. The
+    result is identical on every process — callers may branch on it without
+    diverging pod control flow (e.g. collective best-checkpoint saves).
+    Every process must call this (it is a collective) with the same key set.
+    """
+    import jax
+
+    if jax.process_count() == 1:
+        return dict(sums)
+    from jax.experimental import multihost_utils
+
+    keys = sorted(sums)
+    gathered = multihost_utils.process_allgather(
+        np.asarray([sums[k] for k in keys], np.float32)
+    )  # (num_processes, len(keys), 2)
+    return {
+        k: (float(gathered[:, i, 0].sum()), float(gathered[:, i, 1].sum()))
+        for i, k in enumerate(keys)
+    }
+
+
 def pred_diversity(preds):
     """Mean 1 - cosine similarity over sample pairs (metrics.py:71-96).
 

@@ -149,9 +149,12 @@ class MicroBatcher:
 
     Requests (one scene each) queue up; a worker thread drains up to
     ``model.scenes`` of them — waiting at most ``max_wait_ms`` after the
-    first — and issues ONE device call. Per-request seeds are folded into
-    the batch seed so identical concurrent requests still draw distinct
-    samples. Shut down with ``close()`` (also a context manager).
+    first — and issues ONE device call. The device takes a single scalar
+    seed per batch; it is derived by folding EVERY request's seed in queue
+    order, and scene noise is drawn per batch slot, so identical concurrent
+    requests still get distinct samples while replaying the same request
+    stream reproduces the same predictions. Shut down with ``close()``
+    (also a context manager).
     """
 
     def __init__(self, model: ServingModel, max_wait_ms: float = 5.0):
@@ -213,9 +216,11 @@ class MicroBatcher:
                 continue
             try:
                 # one device seed per batch (the artifact takes a scalar):
-                # derive it from the first request's seed and the batch
-                # counter so repeated identical requests draw fresh samples
-                seed = (batch[0].seed * 1_000_003 + self.batches_run) % 2**31
+                # fold every request's seed in queue order — deterministic
+                # given the request stream, distinct when any seed differs
+                seed = 0
+                for r in batch:
+                    seed = (seed * 1_000_003 + r.seed + 1) % 2**31
                 patches = (
                     None
                     if all(r.patches is None for r in batch)

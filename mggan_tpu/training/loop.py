@@ -8,7 +8,6 @@ work is one jitted ``train_step``; this module is thin host orchestration.
 from __future__ import annotations
 
 import functools
-import math
 from collections import defaultdict
 from pathlib import Path
 
@@ -19,7 +18,11 @@ import numpy as np
 from mggan_tpu.config import Config
 from mggan_tpu.data import augment as aug
 from mggan_tpu.data.loaders import get_dataloader
-from mggan_tpu.eval.metrics import MetricAccumulator, batch_metric_sums
+from mggan_tpu.eval.metrics import (
+    MetricAccumulator,
+    allreduce_sums,
+    batch_metric_sums,
+)
 from mggan_tpu.eval.predict import Predictor
 from mggan_tpu.models import factory
 from mggan_tpu.training import checkpoints as ckpt
@@ -149,7 +152,9 @@ class Trainer:
             shard_by_process=shard_proc,
         )
         track_metric = f"val/ADE k={cfg.top_k_test}"
-        best = math.inf
+        # Resume-safe: the best-so-far val metric rides in the checkpointed
+        # TrainState, so a resumed run can't regress checkpoint_best.
+        best = float(self.state.best_val)
         start_epoch = int(self.state.epoch)
 
         for epoch in range(start_epoch, cfg.epochs):
@@ -216,10 +221,17 @@ class Trainer:
                 val_metrics = self.check_accuracy(val_loader, num_k=cfg.top_k_test)
                 for k, v in val_metrics.items():
                     metrics[f"val/{k}"].append(v)
+                # check_accuracy reduces (sum, count) across processes, so
+                # `cur` is the exact global metric and identical on every
+                # host — the best-checkpoint branch below cannot diverge
+                # between pod processes (orbax saves are collective).
                 cur = float(np.mean(metrics[track_metric]))
                 if cur < best:
                     print(f"Saving best model... {track_metric}: {best} -> {cur}")
                     best = cur
+                    self.state = self.state.replace(
+                        best_val=jnp.asarray(cur, jnp.float32)
+                    )
                     self.save("checkpoint_best")
 
             epoch_metrics = {}
@@ -267,6 +279,11 @@ class Trainer:
                 (num_k,),
             )
             acc.update(jax.device_get(sums))
+        # Pod runs iterate disjoint per-host shards in SPMD lockstep
+        # (data/elastic.py), so every process reaches this collective and
+        # receives the exact global metric — downstream control flow
+        # (best-checkpoint saves are collective orbax ops) cannot diverge.
+        acc.sums = allreduce_sums(acc.sums)
         return acc.result()
 
     def test(self, num_k=20, batch_size=8, **kwargs):

@@ -27,6 +27,10 @@ class TrainState:
     epoch: jnp.ndarray  # int32, 1-based during training (abstract_train.py:110)
     l2_weight: jnp.ndarray  # decayed per epoch (abstract_train.py:198)
     rng: jnp.ndarray
+    # Best val/ADE seen so far (+inf before the first validation). Persisted
+    # so a resumed run can't overwrite checkpoint_best with a worse model
+    # (the reference re-tracks from scratch, abstract_train.py:106).
+    best_val: jnp.ndarray
 
 
 def make_optimizer(lr: float, beta1: float, clip: float):
@@ -82,6 +86,7 @@ def init_train_state(config: Config, g_pack, d_pack, rng) -> TrainState:
         epoch=jnp.asarray(0, jnp.int32),
         l2_weight=jnp.asarray(config.l2_loss_weight, jnp.float32),
         rng=rng,
+        best_val=jnp.asarray(jnp.inf, jnp.float32),
     )
 
 

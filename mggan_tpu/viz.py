@@ -130,8 +130,10 @@ def plot_trajectories_by_idxs_img(history=None, gt=None, preds=None,
         idxs = np.zeros(len(preds), int) if idxs is None else np.asarray(idxs)
         for idx in np.unique(idxs):
             group = preds[idxs == idx]
-            last = np.repeat(history[-1][None, None], len(group), axis=0)
-            group = np.concatenate([last, group], axis=1) * scale
+            if history is not None:  # prepend last observed point
+                last = np.repeat(history[-1][None, None], len(group), axis=0)
+                group = np.concatenate([last, group], axis=1)
+            group = group * scale
             color = cmap(int(idx))
             for pred in group:
                 ax.plot(pred[:, 0], pred[:, 1], color=color, linewidth=lw,
@@ -139,7 +141,10 @@ def plot_trajectories_by_idxs_img(history=None, gt=None, preds=None,
                 ax.scatter(pred[-1:, 0], pred[-1:, 1], color=np.array([color]),
                            s=lw * 20, zorder=2, edgecolor="black")
     if gt is not None and not np.isnan(np.asarray(gt)).any():
-        g = np.concatenate([history[-1][None], np.asarray(gt)]) * scale
+        g = np.asarray(gt)
+        if history is not None:
+            g = np.concatenate([history[-1][None], g])
+        g = g * scale
         ax.plot(g[:, 0], g[:, 1], "k", zorder=5)
         ax.plot(g[-1, 0], g[-1, 1], "ko", zorder=6)
     if history is not None and plot_hist:

@@ -91,11 +91,21 @@ def main():
         cfg, g_pack[2], d_pack[2], mesh, state, gbatch
     )
     _, metrics = pstep(pstate, gbatch)
+
+    # Cross-process eval-metric reduction (training/loop.py::check_accuracy
+    # feeds per-host shard sums through this to get one global, host-
+    # identical number for the best-checkpoint branch).
+    from mggan_tpu.eval.metrics import allreduce_sums
+
+    local_sums = {"ADE k=3": (float(pid + 1), 2.0), "FDE k=3": (10.0, 1.0)}
+    reduced = allreduce_sums(local_sums)
+
     out = {
         "pid": pid,
         "batch_checksum": checksum,
         "elastic": elastic_info,
         "metrics": {k: float(v) for k, v in metrics.items()},
+        "reduced_sums": {k: list(v) for k, v in sorted(reduced.items())},
     }
     print("POD " + json.dumps(out), flush=True)
 

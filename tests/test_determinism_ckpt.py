@@ -105,3 +105,32 @@ def test_sharded_prediction_matches_single(tmp_path):
     a2, _, probs2, _ = p2.predict(mb, jax.random.PRNGKey(0), num=4)
     np.testing.assert_allclose(np.asarray(probs1), np.asarray(probs2), atol=1e-5)
     np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol=1e-4)
+
+
+def test_resume_preserves_best_checkpoint(tmp_path, monkeypatch):
+    """checkpoint_best must survive a resume whose first validation is
+    worse: the best-so-far metric rides in the checkpointed TrainState
+    (regression: it used to reset to +inf, so the first post-resume
+    validation always overwrote checkpoint_best)."""
+    tr, cfg = make_trainer(tmp_path, version=16, val_every=1)
+    tr.train(until_epoch=1)
+    best_after_1 = float(tr.state.best_val)
+    assert np.isfinite(best_after_1)  # validation ran and recorded it
+
+    tr2, _ = Trainer.load_from_path(tr.writer.dir, checkpoint="latest")
+    assert float(tr2.state.best_val) == best_after_1
+
+    # resume with a deliberately worse validation metric: checkpoint_best
+    # must NOT be overwritten
+    worse = {f"ADE k={cfg.top_k_test}": best_after_1 + 100.0,
+             f"FDE k={cfg.top_k_test}": 0.0}
+    monkeypatch.setattr(
+        tr2, "check_accuracy", lambda loader, num_k: dict(worse)
+    )
+    tr2.train()
+    assert float(tr2.state.best_val) == best_after_1
+    restored = ckpt.restore_checkpoint(
+        tr2.writer.checkpoint_dir, jax.device_get(tr2.state),
+        "checkpoint_best",
+    )
+    assert int(restored.epoch) == 1  # still the epoch-1 save

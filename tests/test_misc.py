@@ -307,4 +307,9 @@ def test_plot_trajectories_by_idxs_scene(tmp_path):
     colors = [l.get_color() for l in sample_lines]
     assert colors[0] == colors[1] and colors[2] == colors[3]
     assert colors[0] != colors[2]
+    # prediction-only plotting (history=None is the documented default)
+    ax3 = viz.plot_trajectories_by_idxs_img(
+        preds=preds[0], gt=ds.trajectories[0][0, 8:], scale=2.0
+    )
+    assert len(ax3.lines) >= 4
     plt.close("all")

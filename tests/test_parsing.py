@@ -189,3 +189,32 @@ def test_biwi_homography_roundtrip_and_warp():
     shift = np.array([[1.0, 0, 3.0], [0, 1.0, 0], [0, 0, 1.0]])
     out = hg.warp_image(img, shift, (30, 20))
     np.testing.assert_allclose(out[:, 3:], img[:, :27], atol=1e-9)
+
+
+def test_window_scene_inclusive():
+    """inclusive=True counts windows floor((F-L)/skip)+1 so the newest frame
+    is always covered (serving-time contract, cli/serve.py); the default
+    ceil count keeps reference training parity (trajectories_scene.py:156)."""
+    def rows(nf):
+        return np.asarray(
+            [[f, pid, f * 0.1, f * 0.2] for f in range(nf) for pid in (1, 2)],
+            np.float64,
+        )
+
+    # exactly seq_len frames: reference formula yields zero windows,
+    # inclusive yields the one complete window
+    assert parsing.window_scene(rows(8), seq_len=8) == []
+    w = parsing.window_scene(rows(8), seq_len=8, inclusive=True)
+    assert len(w) == 1 and w[0][0].shape == (2, 8, 2)
+
+    # nf=10, skip=1: ceil gives starts {0,1} (frame 9 never the window end);
+    # inclusive gives starts {0,1,2} whose last window ends at frame 9
+    assert len(parsing.window_scene(rows(10), seq_len=8)) == 2
+    wi = parsing.window_scene(rows(10), seq_len=8, inclusive=True)
+    assert len(wi) == 3
+    np.testing.assert_allclose(wi[-1][0][0, -1, 0], 0.9, atol=1e-6)
+
+    # skip>1: floor((12-8)/2)+1 = 3 (starts 0,2,4), last covers frame 11
+    wi = parsing.window_scene(rows(12), seq_len=8, skip=2, inclusive=True)
+    assert len(wi) == 3
+    np.testing.assert_allclose(wi[-1][0][0, -1, 0], 1.1, atol=1e-6)

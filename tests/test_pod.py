@@ -83,3 +83,12 @@ def test_two_process_pod_matches_single_process():
         np.testing.assert_allclose(
             results[0]["metrics"][k], v, rtol=1e-4, atol=1e-6, err_msg=k
         )
+
+    # eval-metric (sum, count) all-reduce: every host gets the exact global
+    # pairs (worker pid p contributes ADE sum p+1) — the best-checkpoint
+    # branch in training/loop.py depends on this being host-identical
+    assert results[0]["reduced_sums"] == results[1]["reduced_sums"]
+    assert results[0]["reduced_sums"]["ADE k=3"] == [3.0, 4.0]
+    assert results[0]["reduced_sums"]["FDE k=3"] == [20.0, 2.0]
+    # single-process identity
+    assert ref["reduced_sums"]["ADE k=3"] == [1.0, 2.0]

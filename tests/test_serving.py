@@ -100,8 +100,12 @@ def test_microbatcher_groups_and_matches(model):
         assert mb.requests_served == len(obs)
     for o, r in zip(obs, outs):
         assert r.shape == (K, o.shape[0], 12, 2)
-    # reproduce the worker's call exactly: same composition + derived seed
-    direct = model.predict_batch(obs, seed=(11 * 1_000_003 + 0) % 2**31)
+    # reproduce the worker's call exactly: same composition + the seed fold
+    # over every request's seed in queue order (serving/runtime.py::_run)
+    seed = 0
+    for _ in obs:
+        seed = (seed * 1_000_003 + 11 + 1) % 2**31
+    direct = model.predict_batch(obs, seed=seed)
     for got, want in zip(outs, direct):
         np.testing.assert_allclose(got, want, atol=1e-6)
 
@@ -180,9 +184,10 @@ def test_offline_cli_txt_to_npz(predictor, tmp_path):
     art = tmp_path / "m.jaxexport"
     save_artifact(exported, art)
 
-    # two peds fully present for 10 frames -> 2 sliding 8-frame windows
-    # (window count follows the reference's ceil((F-seq)/skip) formula,
-    # trajectories_scene.py:149-154)
+    # two peds fully present for 10 frames -> 3 sliding 8-frame windows
+    # (serving uses the inclusive floor((F-seq)/skip)+1 count so the
+    # window ending at the newest frame is produced; the reference's
+    # ceil formula is training-window parity only)
     rows = []
     for f in range(10):
         for pid in (1, 2):
@@ -196,8 +201,22 @@ def test_offline_cli_txt_to_npz(predictor, tmp_path):
     ])
     z = np.load(out)
     windows = [k for k in z.files if k.startswith("window_")]
-    assert len(windows) == 2
+    assert len(windows) == 3
     for k in windows:
         assert z[k].shape == (K, 2, 12, 2)
         assert np.isfinite(z[k]).all()
     np.testing.assert_array_equal(z["ped_ids_00000"], [1, 2])
+
+
+def test_microbatcher_seed_reproducible(model):
+    """The batch seed is a pure fold of the request seeds: replaying the
+    same request gives the same samples; a different seed gives different
+    ones (regression: the old fold included the batch counter, so no
+    request was ever reproducible)."""
+    obs = make_obs(2, seed=5)
+    with MicroBatcher(model, max_wait_ms=1.0) as mb:
+        a = mb.predict(obs, seed=7)
+        b = mb.predict(obs, seed=7)
+        c = mb.predict(obs, seed=8)
+    np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(a, c)
