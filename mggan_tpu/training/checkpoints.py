@@ -8,9 +8,11 @@ optimizer states — so resume is exact (the reference restarts epoch at 0).
 
 from __future__ import annotations
 
+import dataclasses
 from pathlib import Path
 
 import jax
+import jax.numpy as jnp
 import orbax.checkpoint as ocp
 
 from mggan_tpu.training.state import TrainState
@@ -25,7 +27,24 @@ def save_checkpoint(ckpt_dir: Path, state: TrainState, name: str):
 def restore_checkpoint(ckpt_dir: Path, abstract_state: TrainState, name: str) -> TrainState:
     path = (Path(ckpt_dir) / name).absolute()
     with ocp.StandardCheckpointer() as restorer:
-        return restorer.restore(path, abstract_state)
+        try:
+            return restorer.restore(path, abstract_state)
+        except Exception:
+            # Legacy checkpoints predate ``best_val`` on TrainState; their
+            # saved pytree has one field fewer, so the structure-matched
+            # restore above fails. Retry against the reduced tree and
+            # default best_val to +inf ("no validation recorded yet") —
+            # the documented pre-best_val semantics. If the mismatch was
+            # something else, this restore re-raises its own error.
+            legacy_abstract = {
+                f.name: getattr(abstract_state, f.name)
+                for f in dataclasses.fields(abstract_state)
+                if f.name != "best_val"
+            }
+            restored = restorer.restore(path, legacy_abstract)
+            return TrainState(
+                **restored, best_val=jnp.asarray(jnp.inf, jnp.float32)
+            )
 
 
 def resolve_checkpoint_name(ckpt_dir: Path, checkpoint="best") -> str:

@@ -107,6 +107,60 @@ def test_sharded_prediction_matches_single(tmp_path):
     np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol=1e-4)
 
 
+def test_restore_legacy_checkpoint_without_best_val(tmp_path):
+    """Checkpoints saved before best_val joined TrainState (ADVICE r3
+    medium) must still restore: the structure-mismatch fallback strips
+    the field from the abstract tree and defaults it to +inf."""
+    import dataclasses
+    from typing import Any
+
+    import flax.struct
+
+    @flax.struct.dataclass
+    class LegacyTrainState:  # pre-best_val on-disk layout, field order kept
+        g_params: Any
+        g_state: Any
+        d_params: Any
+        d_state: Any
+        g_opt: Any
+        d_opt: Any
+        step: Any
+        epoch: Any
+        l2_weight: Any
+        rng: Any
+
+    tr, _ = make_trainer(tmp_path, version=17)
+    batch = get_dataloader("synthetic_memory", "train", batch_size=4).make_batch(
+        np.arange(4)
+    )
+    mb = tr._device_batch(batch, train=False)
+    tr.state, _ = tr.train_step(tr.state, mb)
+
+    legacy_fields = [f.name for f in dataclasses.fields(LegacyTrainState)]
+    legacy = LegacyTrainState(
+        **{f: getattr(tr.state, f) for f in legacy_fields}
+    )
+    ckpt.save_checkpoint(tr.writer.checkpoint_dir, legacy, "checkpoint_1")
+
+    restored = ckpt.restore_checkpoint(
+        tr.writer.checkpoint_dir, jax.device_get(tr.state), "checkpoint_1"
+    )
+    assert not np.isfinite(float(restored.best_val))  # defaulted to +inf
+    for f in legacy_fields:
+        for a, b in zip(
+            jax.tree.leaves(getattr(tr.state, f)),
+            jax.tree.leaves(getattr(restored, f)),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # the restored state is usable: one more step runs and matches the
+    # original state's next step (best_val does not feed the jitted step)
+    tr.state, m1 = tr.train_step(tr.state, mb)
+    _, m2 = tr.train_step(restored, mb)
+    for k in m1:
+        assert float(m1[k]) == float(m2[k]), k
+
+
 def test_resume_preserves_best_checkpoint(tmp_path, monkeypatch):
     """checkpoint_best must survive a resume whose first validation is
     worse: the best-so-far metric rides in the checkpointed TrainState
