@@ -10,8 +10,9 @@ payload) can deserialize and call WITHOUT the model code:
     python -m mggan_tpu.cli.export --model_dir logs/.../version_1 \
         --out model.jaxexport --scenes 256 --peds 16 --num 20
 
-    exported = load_artifact("model.jaxexport")
+    exported, meta = load_artifact("model.jaxexport")
     pred_abs = exported.call(xy, ped_mask, patches, seed)
+    # meta: {"wants_scene": bool, "strategy": ..., "dataset": ...}
 
 Inputs: xy (S,P,20,2) f32 (observed 8 steps used), ped_mask (S,P) bool,
 patches (S,P,33,33,4) f32 (or zeros when the model has no scene CNN),
@@ -73,14 +74,35 @@ def export_predictor(predictor, strategy: str, scenes: int, peds: int,
     return jexport.export(fn, **kw)(*args)
 
 
-def save_artifact(exported, path):
-    Path(path).write_bytes(exported.serialize())
+# Artifact container: a small JSON metadata header (wants_scene, strategy,
+# dataset provenance) in front of the raw jax.export payload. Header-less
+# files (round-3 artifacts) still load, with empty metadata.
+_MAGIC = b"MGEX1\n"
+
+
+def save_artifact(exported, path, meta: dict | None = None):
+    import json
+
+    header = json.dumps(meta or {}).encode()
+    Path(path).write_bytes(
+        _MAGIC + len(header).to_bytes(4, "big") + header + exported.serialize()
+    )
 
 
 def load_artifact(path):
+    """Returns (jax.export.Exported, metadata dict)."""
+    import json
+
     from jax import export as jexport
 
-    return jexport.deserialize(Path(path).read_bytes())
+    data = Path(path).read_bytes()
+    meta = {}
+    if data.startswith(_MAGIC):
+        n = int.from_bytes(data[len(_MAGIC) : len(_MAGIC) + 4], "big")
+        start = len(_MAGIC) + 4
+        meta = json.loads(data[start : start + n])
+        data = data[start + n :]
+    return jexport.deserialize(data), meta
 
 
 def get_arg_parser():
@@ -104,11 +126,18 @@ def main(argv=None):
     args = get_arg_parser().parse_args(argv)
     trainer, config = Trainer.load_from_path(Path(args.model_dir), args.checkpoint)
     platforms = args.platforms.split(",") if args.platforms else None
+    predictor = trainer.predictor()
     exported = export_predictor(
-        trainer.predictor(), args.strategy, args.scenes, args.peds, args.num,
+        predictor, args.strategy, args.scenes, args.peds, args.num,
         platforms=platforms,
     )
-    save_artifact(exported, args.out)
+    meta = {
+        "wants_scene": predictor.g_spec.scene_dim > 0,
+        "strategy": args.strategy,
+        "dataset": config.dataset,
+        "model_dir": str(args.model_dir),
+    }
+    save_artifact(exported, args.out, meta)
     size = Path(args.out).stat().st_size
     print(f"exported {args.strategy} (S={args.scenes}, P={args.peds}, "
           f"k={args.num}) for {exported.platforms} -> {args.out} "

@@ -14,6 +14,15 @@ Offline batch (txt in, npz out — observation-only 8-frame windows):
     mggan-serve --artifact model.jaxexport --input obs.txt --output preds.npz
     # obs.txt rows: frame ped_id x y (reference dataset format,
     # BaseTrajectories.py:130-155; --txt_dataset picks the column schema)
+
+Scene context: a scene-conditioned model (every reference config — the
+4x33x33 patch is a first-class input, BaseTrajectories.py:254-288) refuses
+to predict without scene input. Supply it with --scene_img (the half-res
+"small" scene image; patches are cropped at each ped's last observed
+position exactly like the eval pipeline) + --px_per_meter, or opt into
+degraded zero-patch predictions explicitly with --allow_missing_scene.
+Over HTTP, clients register scenes via POST /v1/scenes and reference them
+per request with "scene_ids" (or send ready-made "patches").
 """
 
 from __future__ import annotations
@@ -82,6 +91,20 @@ def get_arg_parser():
                    help="registry name for the txt column schema/delimiter")
     p.add_argument("--output", default=None, help="output .npz path")
     p.add_argument("--seed", type=int, default=0)
+    # scene context
+    p.add_argument("--scene_img", default=None,
+                   help="half-res scene image (the training pipeline's "
+                        "'small' resolution); patches are cropped at each "
+                        "ped's last observed position")
+    p.add_argument("--px_per_meter", type=float, default=2.0,
+                   help="pixels-per-meter of --scene_img (1/scaling_small; "
+                        "BIWI small images: 2)")
+    p.add_argument("--scene_name", default="scene0",
+                   help="registry name for --scene_img")
+    p.add_argument("--allow_missing_scene", action="store_true",
+                   help="serve a scene-conditioned model WITHOUT scene "
+                        "input (degraded zero-patch predictions; off by "
+                        "default — missing scene input is an error)")
     return p
 
 
@@ -89,11 +112,21 @@ def build_model(args):
     from mggan_tpu.serving.runtime import ServingModel
 
     if args.artifact:
-        return ServingModel.from_artifact(args.artifact)
-    return ServingModel.from_version_dir(
-        args.model_dir, strategy=args.strategy, scenes=args.scenes,
-        peds=args.peds, num=args.num, checkpoint=args.checkpoint,
-    )
+        model = ServingModel.from_artifact(
+            args.artifact, allow_missing_scene=args.allow_missing_scene
+        )
+    else:
+        model = ServingModel.from_version_dir(
+            args.model_dir, strategy=args.strategy, scenes=args.scenes,
+            peds=args.peds, num=args.num, checkpoint=args.checkpoint,
+            allow_missing_scene=args.allow_missing_scene,
+        )
+    if args.scene_img:
+        import cv2
+
+        img = cv2.cvtColor(cv2.imread(str(args.scene_img)), cv2.COLOR_BGR2RGB)
+        model.register_scene(args.scene_name, img, args.px_per_meter)
+    return model
 
 
 def main(argv=None):
@@ -108,7 +141,11 @@ def main(argv=None):
         preds = []
         for i in range(0, len(scenes), model.scenes):
             chunk = scenes[i : i + model.scenes]
-            preds.extend(model.predict_batch(chunk, seed=args.seed + i))
+            patches = (
+                [model.crop_patches(args.scene_name, obs) for obs in chunk]
+                if args.scene_img else None
+            )
+            preds.extend(model.predict_batch(chunk, patches, seed=args.seed + i))
         np.savez(
             args.output,
             **{f"window_{i:05d}": p for i, p in enumerate(preds)},

@@ -17,17 +17,47 @@ from __future__ import annotations
 
 import queue
 import threading
+import warnings
 from concurrent.futures import Future
 from pathlib import Path
 
 import numpy as np
 
 from mggan_tpu.config import OBS_LEN
+from mggan_tpu.data.dataset import BIG_MARGIN, MARGIN, extract_big_patches
 
 PRED_LEN = 12
 SEQ_LEN = 20
 PATCH_HW = 33
 PATCH_C = 4
+
+
+class MissingSceneInputError(ValueError):
+    """A scene-conditioned model (scene CNN in the graph) was asked to
+    predict without scene patches. The reference treats the 4x33x33 scene
+    patch as a first-class model input (BaseTrajectories.py:254-288);
+    serving on zero patches silently degrades predictions, so it is an
+    error unless ``allow_missing_scene`` opts in explicitly."""
+
+
+def finish_patches_center(big_patches: np.ndarray) -> np.ndarray:
+    """uint8 (N,49,49,3) big patches -> (N,33,33,4) float32 model patches.
+
+    Numpy twin of ``data/augment.py::identity_patches`` (the eval-time
+    identity transform: pure centre crop, [-1,1) normalisation
+    (BaseTrajectories.py:283), one-hot centre channel) — bit-identical, so
+    server-side cropping matches the training/eval feed exactly
+    (tests/test_serving.py::test_finish_patches_center_matches_identity).
+    """
+    n = big_patches.shape[0]
+    off = BIG_MARGIN - MARGIN
+    rgb = big_patches[:, off : off + PATCH_HW, off : off + PATCH_HW].astype(
+        np.float32
+    )
+    rgb = -1.0 + rgb * 2.0 / 256.0
+    pos = np.zeros((n, PATCH_HW, PATCH_HW, 1), np.float32)
+    pos[:, MARGIN, MARGIN, 0] = 1.0
+    return np.concatenate([rgb, pos], axis=-1)
 
 
 class ServingModel:
@@ -36,36 +66,58 @@ class ServingModel:
     call(xy (S,P,20,2) f32, ped_mask (S,P) bool, patches (S,P,33,33,4) f32,
     seed i32) -> pred_abs (num, S, P, 12, 2) — the cli/export.py serving
     contract, backed either by a deserialized artifact or a live Predictor.
+
+    ``wants_scene`` records whether the underlying model has a scene CNN
+    (GeneratorSpec.scene_dim > 0; None = unknown, e.g. a legacy artifact
+    without a metadata header). When True and a request carries no scene
+    input, prediction raises ``MissingSceneInputError`` unless the model
+    was built with ``allow_missing_scene=True`` (then it warns once).
+    Scene input arrives either as ready-made (p,33,33,4) patches or by
+    registering a scene image (``register_scene``) and letting
+    ``crop_patches`` cut them server-side at each ped's last observed
+    position — the same centre-crop the eval pipeline uses.
     """
 
     def __init__(self, call, scenes: int, peds: int, num: int, *,
-                 strategy: str = "?", source: str = "?"):
+                 strategy: str = "?", source: str = "?",
+                 wants_scene: bool | None = None,
+                 allow_missing_scene: bool = False):
         self._call = call
         self.scenes = scenes
         self.peds = peds
         self.num = num
         self.strategy = strategy
         self.source = source
+        self.wants_scene = wants_scene
+        self.allow_missing_scene = allow_missing_scene
+        self._warned_missing = False
+        # name -> {"small": HxWx3 uint8 half-res scene image,
+        #          "px_per_meter": pixels per meter of that image}
+        self.scene_registry: dict = {}
         self._zero_patches = np.zeros(
             (scenes, peds, PATCH_HW, PATCH_HW, PATCH_C), np.float32
         )
 
     # ------------------------------------------------------------- builders
     @classmethod
-    def from_artifact(cls, path) -> "ServingModel":
+    def from_artifact(cls, path, allow_missing_scene: bool = False) -> "ServingModel":
         """Load a serialized ``jax.export`` artifact; shapes come from its
-        input avals, so the artifact is fully self-describing."""
+        input avals and ``wants_scene`` from the metadata header (None for
+        legacy header-less artifacts)."""
         from mggan_tpu.cli.export import load_artifact
 
-        exported = load_artifact(path)
+        exported, meta = load_artifact(path)
         s, p = exported.in_avals[0].shape[:2]
         num = exported.out_avals[0].shape[0]  # pred_abs (num, S, P, 12, 2)
         return cls(exported.call, s, p, num,
-                   strategy="artifact", source=str(Path(path)))
+                   strategy=meta.get("strategy", "artifact"),
+                   source=str(Path(path)),
+                   wants_scene=meta.get("wants_scene"),
+                   allow_missing_scene=allow_missing_scene)
 
     @classmethod
     def from_predictor(cls, predictor, strategy: str, scenes: int, peds: int,
-                       num: int) -> "ServingModel":
+                       num: int, allow_missing_scene: bool = False) -> "ServingModel":
         """Live (non-exported) path: jit the same serving function."""
         import functools
 
@@ -76,17 +128,79 @@ class ServingModel:
         serve = jax.jit(functools.partial(
             build_serving_fn(predictor, strategy), num=num
         ))
-        return cls(serve, scenes, peds, num, strategy=strategy, source="live")
+        return cls(serve, scenes, peds, num, strategy=strategy, source="live",
+                   wants_scene=predictor.g_spec.scene_dim > 0,
+                   allow_missing_scene=allow_missing_scene)
 
     @classmethod
     def from_version_dir(cls, version_dir, strategy="sampling", scenes=64,
-                         peds=16, num=20, checkpoint="best") -> "ServingModel":
+                         peds=16, num=20, checkpoint="best",
+                         allow_missing_scene: bool = False) -> "ServingModel":
         from mggan_tpu.training.loop import Trainer
 
         trainer, _ = Trainer.load_from_path(Path(version_dir), checkpoint)
-        m = cls.from_predictor(trainer.predictor(), strategy, scenes, peds, num)
+        m = cls.from_predictor(trainer.predictor(), strategy, scenes, peds,
+                               num, allow_missing_scene=allow_missing_scene)
         m.source = str(Path(version_dir))
         return m
+
+    # -------------------------------------------------------- scene context
+    def register_scene(self, name: str, image, px_per_meter: float):
+        """Register a half-resolution scene image for server-side patch
+        cropping. ``image``: (H,W,3) uint8 RGB at the training pipeline's
+        "small" resolution (data/parsing.py::build_image_entry);
+        ``px_per_meter``: its pixels-per-meter (1/scaling_small)."""
+        img = np.ascontiguousarray(np.asarray(image, dtype=np.uint8))
+        if img.ndim != 3 or img.shape[2] != 3:
+            raise ValueError(f"scene image must be (H,W,3) uint8, got {img.shape}")
+        self.scene_registry[name] = {
+            "small": img, "px_per_meter": float(px_per_meter)
+        }
+
+    def crop_patches(self, scene_name: str, obs) -> np.ndarray:
+        """Cut (p,33,33,4) model patches from a registered scene at each
+        ped's last observed position — the training-time crop
+        (data/parsing.py:254-256) followed by the eval identity transform."""
+        if scene_name not in self.scene_registry:
+            raise KeyError(
+                f"scene {scene_name!r} not registered (have "
+                f"{sorted(self.scene_registry)}); POST /v1/scenes or call "
+                f"register_scene() first"
+            )
+        entry = self.scene_registry[scene_name]
+        obs = np.asarray(obs, np.float32)
+        centers_px = obs[:, -1] * entry["px_per_meter"]  # last observed pos
+        big = extract_big_patches(entry["small"], centers_px)
+        return finish_patches_center(big)
+
+    def check_scene_input(self, have_patches: bool):
+        """Enforce the scene contract for one request. Raises
+        ``MissingSceneInputError`` for a scene-conditioned model with no
+        scene input (warns instead when allow_missing_scene / unknown)."""
+        if have_patches or self.wants_scene is False:
+            return
+        if self.wants_scene and not self.allow_missing_scene:
+            raise MissingSceneInputError(
+                "this model conditions on scene patches but the request "
+                "carries none — pass per-scene (p,33,33,4) patches, or "
+                "register a scene image and reference it, or opt out "
+                "explicitly with allow_missing_scene=True "
+                "(--allow_missing_scene) to serve degraded zero-patch "
+                "predictions"
+            )
+        if not self._warned_missing:
+            self._warned_missing = True
+            reason = (
+                "allow_missing_scene=True" if self.wants_scene
+                else "wants_scene unknown (legacy artifact without a "
+                     "metadata header)"
+            )
+            warnings.warn(
+                f"serving without scene patches ({reason}): a "
+                "scene-conditioned model will produce degraded "
+                "zero-patch predictions",
+                stacklevel=2,
+            )
 
     # ------------------------------------------------------------- predict
     def predict_batch(self, scene_obs, patches=None, seed: int = 0):
@@ -96,7 +210,8 @@ class ServingModel:
             scene_obs: list of (p_i, >=OBS_LEN, 2) float arrays — the last
                 OBS_LEN rows are the observed positions.
             patches: optional list of (p_i, 33, 33, 4) scene patches
-                (zeros for scene-less models).
+                (zeros for scene-less models). Required per scene when
+                ``wants_scene`` is True (see ``check_scene_input``).
             seed: RNG seed for the sampling strategies.
 
         Returns:
@@ -105,6 +220,10 @@ class ServingModel:
         s, p = self.scenes, self.peds
         if len(scene_obs) > s:
             raise ValueError(f"{len(scene_obs)} scenes > compiled batch {s}")
+        for i in range(len(scene_obs)):
+            self.check_scene_input(
+                patches is not None and patches[i] is not None
+            )
         xy = np.zeros((s, p, SEQ_LEN, 2), np.float32)
         mask = np.zeros((s, p), bool)
         pat = self._zero_patches.copy() if patches is not None else self._zero_patches
@@ -151,9 +270,14 @@ class MicroBatcher:
     ``model.scenes`` of them — waiting at most ``max_wait_ms`` after the
     first — and issues ONE device call. The device takes a single scalar
     seed per batch; it is derived by folding EVERY request's seed in queue
-    order, and scene noise is drawn per batch slot, so identical concurrent
-    requests still get distinct samples while replaying the same request
-    stream reproduces the same predictions. Shut down with ``close()``
+    order, and scene noise is drawn per batch slot. Guarantees (and their
+    limits): requests CO-BATCHED with distinct seeds (or in distinct batch
+    slots) get distinct samples, but two same-seed requests of identical
+    composition landing in SEPARATE batches return identical samples —
+    sampling clients should pass a distinct seed per request. Replaying a
+    request stream reproduces the same predictions only when the batch
+    boundaries replay identically (timing-dependent under concurrency;
+    exact for sequential ``predict`` calls). Shut down with ``close()``
     (also a context manager).
     """
 
@@ -170,6 +294,9 @@ class MicroBatcher:
     def submit(self, obs, patches=None, seed: int = 0) -> Future:
         if self._closed:
             raise RuntimeError("MicroBatcher is closed")
+        # Enforce the scene contract BEFORE queueing so one patch-less
+        # request can't poison the whole micro-batch it would land in.
+        self.model.check_scene_input(patches is not None)
         req = _Request(np.asarray(obs, np.float32), patches, int(seed))
         self._q.put(req)
         return req.future

@@ -51,7 +51,7 @@ def test_export_roundtrip_matches_live(tmp_path, strategy):
     save_artifact(exported, path)
     assert path.stat().st_size > 0
 
-    pred_art = load_artifact(path).call(xy, mask, patches, jnp.int32(7))
+    pred_art = load_artifact(path)[0].call(xy, mask, patches, jnp.int32(7))
 
     serve = build_serving_fn(predictor, strategy)
     pred_live = serve(xy, mask, patches, jnp.int32(7), num=K)
@@ -80,6 +80,29 @@ def test_export_cli_from_version_dir(tmp_path):
         "--scenes", str(S), "--peds", str(P), "--num", str(K),
     ])
     xy, mask, patches = make_inputs(1)
-    pred = load_artifact(out).call(xy, mask, patches, jnp.int32(3))
+    exported, meta = load_artifact(out)
+    pred = exported.call(xy, mask, patches, jnp.int32(3))
     assert pred.shape == (K, S, P, 12, 2)
     assert np.isfinite(np.asarray(pred)).all()
+    # the CLI records scene provenance in the metadata header
+    assert meta["wants_scene"] is True
+    assert meta["strategy"] == "sampling"
+    assert meta["dataset"] == "synthetic_memory"
+
+
+def test_legacy_headerless_artifact_loads(tmp_path):
+    """Round-3 artifacts are raw jax.export bytes; they must keep loading
+    (empty metadata -> ServingModel.wants_scene None)."""
+    from pathlib import Path
+
+    from mggan_tpu.serving.runtime import ServingModel
+
+    predictor = tiny_predictor()
+    exported = export_predictor(predictor, "sampling", S, P, K)
+    path = tmp_path / "legacy.jaxexport"
+    Path(path).write_bytes(exported.serialize())  # no header
+
+    loaded, meta = load_artifact(path)
+    assert meta == {}
+    m = ServingModel.from_artifact(path)
+    assert m.wants_scene is None

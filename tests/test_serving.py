@@ -17,7 +17,12 @@ from mggan_tpu.cli.export import build_serving_fn, export_predictor, save_artifa
 from mggan_tpu.config import Config
 from mggan_tpu.eval.predict import Predictor
 from mggan_tpu.models import factory
-from mggan_tpu.serving.runtime import MicroBatcher, ServingModel
+from mggan_tpu.serving.runtime import (
+    MicroBatcher,
+    MissingSceneInputError,
+    ServingModel,
+    finish_patches_center,
+)
 from mggan_tpu.serving.server import start_background
 
 S, P, K = 4, 3, 5
@@ -37,7 +42,16 @@ def predictor():
 
 @pytest.fixture(scope="module")
 def model(predictor):
-    return ServingModel.from_predictor(predictor, "sampling", S, P, K)
+    # Every model in this framework has a scene CNN (SCENE_DIM constant,
+    # mirroring the reference's first-class 4x33x33 patch input); these
+    # padding/batching tests exercise the trajectory path only, so opt into
+    # patch-less (zero-patch) serving explicitly.
+    with pytest.warns(UserWarning, match="without scene patches"):
+        m = ServingModel.from_predictor(
+            predictor, "sampling", S, P, K, allow_missing_scene=True
+        )
+        m.predict(make_obs(1))  # trigger the one-time degradation warning
+    return m
 
 
 def make_obs(peds, seed=0, steps=8):
@@ -206,6 +220,245 @@ def test_offline_cli_txt_to_npz(predictor, tmp_path):
         assert z[k].shape == (K, 2, 12, 2)
         assert np.isfinite(z[k]).all()
     np.testing.assert_array_equal(z["ped_ids_00000"], [1, 2])
+
+
+# --------------------------------------------------------------------------
+# Scene-context contract (VERDICT r3 #1): a scene-conditioned model must not
+# silently serve zero-patch predictions. Reference data contract:
+# BaseTrajectories.py:254-288 (the 4x33x33 patch is a first-class input).
+# --------------------------------------------------------------------------
+
+def make_patches(peds, seed=0):
+    rng = np.random.RandomState(100 + seed)
+    return rng.rand(peds, 33, 33, 4).astype(np.float32)
+
+
+def make_scene_img(h=64, w=80, seed=0):
+    rng = np.random.RandomState(200 + seed)
+    return rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+
+
+@pytest.fixture(scope="module")
+def strict_model(predictor):
+    return ServingModel.from_predictor(predictor, "sampling", S, P, K)
+
+
+def test_missing_scene_raises(strict_model):
+    """A scene-conditioned model without allow_missing_scene refuses
+    patch-less requests — predict_batch AND the MicroBatcher front door."""
+    assert strict_model.wants_scene is True
+    with pytest.raises(MissingSceneInputError):
+        strict_model.predict(make_obs(2))
+    with MicroBatcher(strict_model, max_wait_ms=1.0) as mb:
+        with pytest.raises(MissingSceneInputError):
+            mb.submit(make_obs(2))  # rejected before queueing
+        # a patch-carrying request on the same batcher still works
+        out = mb.predict(make_obs(2), patches=make_patches(2), timeout=120)
+    assert out.shape == (K, 2, 12, 2)
+
+
+def test_predict_with_patches_matches_live(predictor, strict_model):
+    """Serving with real patches must equal the live Predictor's serving fn
+    on the same padded arrays — patches flow through, not zeros."""
+    obs = [make_obs(2, seed=1), make_obs(3, seed=2)]
+    pats = [make_patches(2, seed=1), make_patches(3, seed=2)]
+    outs = strict_model.predict_batch(obs, pats, seed=9)
+
+    # jit the reference call exactly like ServingModel.from_predictor does,
+    # so exact equality is the right claim (unjitted op-by-op execution
+    # fuses differently and differs in the last ulp)
+    import functools
+
+    serve = jax.jit(
+        functools.partial(build_serving_fn(predictor, "sampling"), num=K)
+    )
+    xy = np.zeros((S, P, 20, 2), np.float32)
+    mask = np.zeros((S, P), bool)
+    pat = np.zeros((S, P, 33, 33, 4), np.float32)
+    for i, (o, q) in enumerate(zip(obs, pats)):
+        xy[i, : o.shape[0], :8] = o
+        xy[i, : o.shape[0], 8:] = o[:, -1:, :]
+        mask[i, : o.shape[0]] = True
+        pat[i, : o.shape[0]] = q
+    ref = np.asarray(serve(
+        jnp.asarray(xy), jnp.asarray(mask), jnp.asarray(pat), jnp.int32(9)
+    ))
+    for i, o in enumerate(outs):
+        np.testing.assert_array_equal(o, ref[:, i, : o.shape[1]])
+    # and the patches actually conditioned the output
+    zero = ServingModel.from_predictor(
+        predictor, "sampling", S, P, K, allow_missing_scene=True
+    ).predict_batch(obs, seed=9)
+    assert not np.array_equal(outs[0], zero[0])
+
+
+def test_finish_patches_center_matches_identity():
+    """finish_patches_center (numpy, serving) must be bit-identical to
+    data/augment.py::identity_patches (jax, eval pipeline)."""
+    from mggan_tpu.data.augment import identity_patches
+
+    rng = np.random.RandomState(3)
+    big = rng.randint(0, 256, (5, 49, 49, 3), dtype=np.uint8)
+    got = finish_patches_center(big)
+    want = np.asarray(identity_patches(jnp.asarray(big[None])))[0]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_crop_patches_matches_eval_pipeline(strict_model):
+    """register_scene + crop_patches == the data pipeline's own crop
+    (extract_big_patches at last-obs px + identity transform)."""
+    from mggan_tpu.data.dataset import extract_big_patches
+    from mggan_tpu.data.augment import identity_patches
+
+    img = make_scene_img()
+    ppm = 2.0
+    strict_model.register_scene("unit", img, ppm)
+    obs = make_obs(3, seed=4) + 8.0  # keep crops mostly in-bounds
+    got = strict_model.crop_patches("unit", obs)
+
+    centers_px = (obs[:, -1] * ppm).astype(np.float32)
+    big = extract_big_patches(img, centers_px)
+    want = np.asarray(identity_patches(jnp.asarray(big[None])))[0]
+    np.testing.assert_array_equal(got, want)
+
+    with pytest.raises(KeyError):
+        strict_model.crop_patches("nope", obs)
+
+    # end-to-end: server-side cropped patches == client-side ready-made ones
+    a = strict_model.predict(obs, patches=got, seed=5)
+    b = strict_model.predict_batch([obs], [strict_model.crop_patches("unit", obs)],
+                                   seed=5)[0]
+    np.testing.assert_array_equal(a, b)
+
+
+def test_http_scene_contract(predictor):
+    """Strict HTTP server: patch-less predict -> 400; /v1/scenes + scene_ids
+    -> served with server-side crops; explicit patches accepted; metadata
+    reports wants_scene + registered scenes."""
+    m = ServingModel.from_predictor(predictor, "sampling", S, P, K)
+    server, batcher, port = start_background(m, max_wait_ms=5.0)
+    try:
+        # metadata advertises the scene requirement
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/v1/metadata", timeout=30
+        ) as r:
+            meta = json.loads(r.read())
+        assert meta["wants_scene"] is True
+        assert meta["allow_missing_scene"] is False
+        assert meta["registered_scenes"] == []
+
+        obs = make_obs(2, seed=6)
+        # 1) no scene input -> 400 MissingSceneInputError
+        try:
+            _post(port, {"scenes": [obs.tolist()]})
+            raise AssertionError("expected HTTPError")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "MissingSceneInputError" in json.loads(e.read())["error"]
+
+        # 2) register a scene, then reference it per request
+        img = make_scene_img(seed=1)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/scenes",
+            data=json.dumps({
+                "name": "lobby", "image": img.tolist(), "px_per_meter": 2.0,
+            }).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=30) as r:
+            assert json.loads(r.read())["scenes"] == ["lobby"]
+
+        out = _post(port, {
+            "scenes": [obs.tolist()], "scene_ids": ["lobby"], "seed": 3,
+        })
+        assert "warning" not in out
+        arr = np.asarray(out["predictions"][0])
+        assert arr.shape == (K, 2, 12, 2) and np.isfinite(arr).all()
+        # equals a direct call with the same server-side crop + seed fold
+        fold = (0 * 1_000_003 + 3 + 1) % 2**31
+        want = m.predict_batch([obs], [m.crop_patches("lobby", obs)],
+                               seed=fold)[0]
+        np.testing.assert_allclose(arr, want, atol=1e-6)
+
+        # 3) ready-made patches in the request body
+        pats = make_patches(2, seed=6)
+        out = _post(port, {
+            "scenes": [obs.tolist()], "patches": [pats.tolist()], "seed": 3,
+        })
+        want = m.predict_batch([obs], [pats], seed=fold)[0]
+        np.testing.assert_allclose(
+            np.asarray(out["predictions"][0]), want, atol=1e-6
+        )
+
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/v1/metadata", timeout=30
+        ) as r:
+            assert json.loads(r.read())["registered_scenes"] == ["lobby"]
+    finally:
+        server.shutdown()
+        batcher.close()
+
+
+def test_http_allow_missing_scene_warns(model):
+    """Permissive server (--allow_missing_scene): patch-less requests are
+    served but the response carries an explicit degradation warning."""
+    server, batcher, port = start_background(model, max_wait_ms=5.0)
+    try:
+        out = _post(port, {"scenes": [make_obs(1).tolist()]})
+        assert "degraded" in out.get("warning", "")
+        assert np.isfinite(np.asarray(out["predictions"][0])).all()
+    finally:
+        server.shutdown()
+        batcher.close()
+
+
+def test_offline_cli_scene_img(predictor, tmp_path):
+    """mggan-serve --scene_img crops patches server-side; without it a
+    scene-conditioned artifact errors unless --allow_missing_scene."""
+    import cv2
+
+    from mggan_tpu.cli.serve import main as serve_main
+
+    exported = export_predictor(predictor, "sampling", S, P, K)
+    art = tmp_path / "m.jaxexport"
+    save_artifact(exported, art, {"wants_scene": True, "strategy": "sampling"})
+
+    rows = []
+    for f in range(10):
+        for pid in (1, 2):
+            rows.append(f"{f} {pid} {0.1 * f + pid:.3f} {0.05 * f:.3f}")
+    txt = tmp_path / "obs.txt"
+    txt.write_text("\n".join(rows) + "\n")
+    img = make_scene_img(seed=2)
+    img_path = tmp_path / "scene.png"
+    cv2.imwrite(str(img_path), cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+
+    # scene-conditioned artifact + no scene input -> hard error
+    with pytest.raises(MissingSceneInputError):
+        serve_main([
+            "--artifact", str(art), "--input", str(txt),
+            "--output", str(tmp_path / "x.npz"),
+        ])
+
+    out = tmp_path / "preds.npz"
+    serve_main([
+        "--artifact", str(art), "--input", str(txt), "--output", str(out),
+        "--scene_img", str(img_path), "--px_per_meter", "2.0",
+    ])
+    z = np.load(out)
+    windows = [k for k in z.files if k.startswith("window_")]
+    assert len(windows) == 3
+    assert all(np.isfinite(z[k]).all() for k in windows)
+
+    # --allow_missing_scene opts into zero-patch serving, and it differs
+    out2 = tmp_path / "preds_noscene.npz"
+    with pytest.warns(UserWarning, match="without scene patches"):
+        serve_main([
+            "--artifact", str(art), "--input", str(txt),
+            "--output", str(out2), "--allow_missing_scene",
+        ])
+    z2 = np.load(out2)
+    assert not np.array_equal(z["window_00000"], z2["window_00000"])
 
 
 def test_microbatcher_seed_reproducible(model):
