@@ -57,16 +57,19 @@ def main():
 
     rng = np.random.RandomState(0)
     obs = (rng.randn(args.peds, 8, 2).astype(np.float32).cumsum(1) * 0.1)
+    # every model carries a scene CNN (SCENE_DIM constant); bench the real
+    # request payload — per-ped 33x33x4 patches — not the zero-patch opt-out
+    patches = rng.rand(args.peds, 33, 33, 4).astype(np.float32)
 
     t0 = time.perf_counter()
-    model.predict(obs, seed=0)  # compile + warm
+    model.predict(obs, patches=patches, seed=0)  # compile + warm
     compile_s = time.perf_counter() - t0
 
     # single-request latency (sequential; the numpy result is the fence)
     lat = []
     for i in range(args.latency_iters):
         t0 = time.perf_counter()
-        model.predict(obs, seed=i)
+        model.predict(obs, patches=patches, seed=i)
         lat.append(time.perf_counter() - t0)
     lat_ms = np.asarray(lat) * 1e3
 
@@ -75,14 +78,17 @@ def main():
 
     with MicroBatcher(model, max_wait_ms=5.0) as mb:
         def one(i):
-            return mb.predict(obs, seed=i, timeout=300.0)
+            return mb.predict(obs, patches=patches, seed=i, timeout=300.0)
 
         with ThreadPoolExecutor(args.threads) as ex:
             list(ex.map(one, range(args.threads)))  # warm the queue path
+            # snapshot counters so warm-up requests/batches don't skew the
+            # timed window's occupancy (ADVICE r3)
+            req0, bat0 = mb.requests_served, mb.batches_run
             t0 = time.perf_counter()
             list(ex.map(one, range(args.requests)))
             dt = time.perf_counter() - t0
-        occupancy = mb.requests_served / max(mb.batches_run, 1)
+        occupancy = (mb.requests_served - req0) / max(mb.batches_run - bat0, 1)
 
     print(json.dumps({
         "backend": jax.default_backend(),

@@ -84,12 +84,14 @@ def window_scene(data: np.ndarray, skip: int = 1, seq_len: int = SEQ_LEN,
         data: (rows, 4|5) (frame, ID, x, y[, is_active]).
         seq_len: window length; ``seq_len=OBS_LEN`` yields observation-only
             windows for serving-time inference (no futures in the file).
-        inclusive: count windows as ``floor((F-L)/skip)+1`` so a file with
-            exactly ``seq_len`` frames yields one window and the window
-            ending at the newest frame is always produced. The default
-            ``ceil((F-L)/skip)`` reproduces the reference's training-window
-            count (trajectories_scene.py:156), which drops that final
-            window — serving-time consumers (cli/serve.py) want it.
+        inclusive: count windows as ``floor((F-L)/skip)+1`` (so a file with
+            exactly ``seq_len`` frames yields one window) and, when ``F-L``
+            is not a multiple of ``skip``, append one clamped window at
+            start ``F-L`` — the window ending at the newest frame is
+            therefore ALWAYS produced. The default ``ceil((F-L)/skip)``
+            reproduces the reference's training-window count
+            (trajectories_scene.py:156), which drops that final window —
+            serving-time consumers (cli/serve.py) want it.
 
     Returns:
         list of (xy (n,seq_len,2) float32 [NaN future if inactive],
@@ -129,10 +131,20 @@ def window_scene(data: np.ndarray, skip: int = 1, seq_len: int = SEQ_LEN,
     from mggan_tpu import native
 
     starts = np.arange(num_seq) * skip
+    # inclusive + skip>1: clamp one final start to F-L when the strided grid
+    # misses it, so the newest-frame window is guaranteed (ADVICE r3).
+    if inclusive and (nf - SEQ_LEN) % skip != 0:
+        starts = np.append(starts, nf - SEQ_LEN)
     if native.available():
         keep = native.window_presence(
             np.ascontiguousarray(present, np.uint8), SEQ_LEN, skip
         )[:num_seq].astype(bool)
+        if len(starts) > num_seq:  # clamped tail start is off the skip grid
+            cs = np.concatenate(
+                [np.zeros((np_, 1), np.int32), np.cumsum(present, 1)], axis=1
+            )
+            tail = (cs[:, starts[-1] + SEQ_LEN] - cs[:, starts[-1]]) == SEQ_LEN
+            keep = np.concatenate([keep, tail[None]], axis=0)
     else:
         cs = np.concatenate(
             [np.zeros((np_, 1), np.int32), np.cumsum(present, 1)], axis=1
@@ -143,7 +155,7 @@ def window_scene(data: np.ndarray, skip: int = 1, seq_len: int = SEQ_LEN,
     gapsum = np.concatenate([[0], np.cumsum(np.diff(frames) != 1)])
 
     out = []
-    for w in range(num_seq):
+    for w in range(len(starts)):
         start = starts[w]
         if gapsum[start + SEQ_LEN - 1] != gapsum[start]:
             continue

@@ -89,22 +89,45 @@ def allreduce_sums(sums):
     exact global metric is the element-wise sum of every host's pairs. The
     result is identical on every process — callers may branch on it without
     diverging pod control flow (e.g. collective best-checkpoint saves).
-    Every process must call this (it is a collective) with the same key set.
+    Every process must call this (it is a collective) with the SAME key set
+    (an empty-shard process must still contribute zero-count pairs for every
+    key); the key sets are cross-checked and a mismatch raises rather than
+    failing with an opaque shape error inside the collective.
+
+    The host accumulators are float64; the gather ships each value as a
+    (hi, lo) float32 pair (hi = f32(x), lo = f32(x - hi) — a 2-word Dekker
+    split, exact for |x| < 2^97) and re-sums in float64, so multi-host
+    metrics match a single host bit-for-bit instead of losing the low 29
+    mantissa bits to a float32 downcast.
     """
     import jax
 
     if jax.process_count() == 1:
         return dict(sums)
+    import zlib
+
     from jax.experimental import multihost_utils
 
     keys = sorted(sums)
+    digest = zlib.crc32("\n".join(keys).encode()) & 0x7FFFFFFF
+    digests = multihost_utils.process_allgather(
+        np.asarray([digest, len(keys)], np.int32)
+    )
+    if not (digests == digests[0]).all():
+        raise ValueError(
+            "allreduce_sums key sets differ across pod processes "
+            f"(crc32/len per process: {digests.tolist()}); every process "
+            "must contribute the same metric keys (zero counts for empty "
+            "shards)"
+        )
+    flat = np.asarray([sums[k] for k in keys], np.float64)  # (len(keys), 2)
+    hi = flat.astype(np.float32)
+    lo = (flat - hi.astype(np.float64)).astype(np.float32)
     gathered = multihost_utils.process_allgather(
-        np.asarray([sums[k] for k in keys], np.float32)
-    )  # (num_processes, len(keys), 2)
-    return {
-        k: (float(gathered[:, i, 0].sum()), float(gathered[:, i, 1].sum()))
-        for i, k in enumerate(keys)
-    }
+        np.stack([hi, lo])  # (2, len(keys), 2) f32
+    ).astype(np.float64)  # (num_processes, 2, len(keys), 2)
+    total = gathered.sum(axis=(0, 1))  # (len(keys), 2) f64
+    return {k: (float(total[i, 0]), float(total[i, 1])) for i, k in enumerate(keys)}
 
 
 def pred_diversity(preds):

@@ -78,7 +78,7 @@ class Predictor:
             bv = batch_views(batch)
             enc_h, social_feats, _ = G_mod.encode(
                 g_params, g_state, g_spec, bv.in_xy, bv.in_dxdy, bv.ped_mask,
-                bv.patches, train=False,
+                bv.patches, train=False, compute_dtype=compute_dtype,
             )
             logits = G_mod.pm_logits(g_params, g_spec, enc_h)
             s, p = bv.ped_mask.shape
@@ -96,7 +96,7 @@ class Predictor:
             bv = batch_views(batch)
             enc_h, social_feats, _ = G_mod.encode(
                 g_params, g_state, g_spec, bv.in_xy, bv.in_dxdy, bv.ped_mask,
-                bv.patches, train=False,
+                bv.patches, train=False, compute_dtype=compute_dtype,
             )
             out = G_mod.decode_all(
                 g_params, g_spec, bv.in_xy[:, :, -1], bv.in_dxdy[:, :, -1],
@@ -115,7 +115,7 @@ class Predictor:
             bv = batch_views(batch)
             enc_h, social_feats, _ = G_mod.encode(
                 g_params, g_state, g_spec, bv.in_xy, bv.in_dxdy, bv.ped_mask,
-                bv.patches, train=False,
+                bv.patches, train=False, compute_dtype=compute_dtype,
             )
             logits = G_mod.pm_logits(g_params, g_spec, enc_h)
             gen_idxs = sampling.categorical(k2, logits, num)

@@ -124,8 +124,14 @@ def init(key, spec: GeneratorSpec):
     return params, state
 
 
-def encode(params, state, spec: GeneratorSpec, in_xy, in_dxdy, ped_mask, patches, train):
+def encode(params, state, spec: GeneratorSpec, in_xy, in_dxdy, ped_mask,
+           patches, train, compute_dtype=None):
     """Shared context encoding (standard.py:140-155).
+
+    ``compute_dtype`` (eval-only, e.g. bf16) selects the scene CNN's
+    reduced-precision activation path (ops/cnn.py::scene_cnn_apply); the
+    trajectory encoder and social module stay f32 (they are a tiny share
+    of the encode cost).
 
     Returns (enc_h (S,P,E_total), social_feats (S,P,F), new_state).
     """
@@ -138,7 +144,7 @@ def encode(params, state, spec: GeneratorSpec, in_xy, in_dxdy, ped_mask, patches
         flat = patches.reshape((s * p,) + patches.shape[2:])
         scene_enc, new_scene_state = scene_cnn_apply(
             params["scene"], state["scene"], flat, train,
-            mask=ped_mask.reshape(s * p),
+            mask=ped_mask.reshape(s * p), compute_dtype=compute_dtype,
         )
         feats.append(scene_enc.reshape(s, p, -1))
         new_state["scene"] = new_scene_state

@@ -28,15 +28,27 @@ def conv_init(key, in_ch, out_ch, ksize=3, dtype=jnp.float32):
     return {"w": w, "b": jnp.full((out_ch,), 0.01, dtype)}
 
 
-def conv_apply(params, x):
+def conv_apply(params, x, compute_dtype=None):
+    """3x3/s1/p1 conv. ``compute_dtype`` (e.g. bf16) casts BOTH the operands
+    and the conv OUTPUT — the stage is HBM-bound on its (B,33,33,C)
+    intermediates at production batch sizes, so halving the activation
+    bytes matters more than the MXU rate."""
+    w, b = params["w"], params["b"]
+    if compute_dtype is not None:
+        x, w, b = (
+            x.astype(compute_dtype),
+            w.astype(compute_dtype),
+            b.astype(compute_dtype),
+        )
     y = jax.lax.conv_general_dilated(
         x,
-        params["w"],
+        w,
         window_strides=(1, 1),
         padding=((1, 1), (1, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=compute_dtype,
     )
-    return y + params["b"]
+    return y + b
 
 
 def bn_init(ch, dtype=jnp.float32):
@@ -112,12 +124,22 @@ def attention_head(params, x):
     return (att * feats).sum(-1)  # (B, H*W) = (B, 64)
 
 
-def scene_cnn_apply(params, state, patches, train: bool, mask=None):
+def scene_cnn_apply(params, state, patches, train: bool, mask=None,
+                    compute_dtype=None):
     """(B, 33, 33, 4) -> (B, 64) scene encoding (cnn.py:109-116).
 
     The conv stack yields (B, 8, 8, C); attention scores are softmaxed over
     the channel axis and channel-summed, giving one scalar per spatial cell.
     ``mask`` (B,) excludes padded peds from BN batch statistics.
+
+    ``compute_dtype`` (e.g. bf16, eval-only — ignored when ``train`` so
+    batch statistics and the G-step's gradients stay f32): runs the conv
+    stack with ``compute_dtype`` activations end-to-end. The stage is
+    HBM-bound — at 65k patches the f32 intermediates ((B,33,33,C) conv1
+    output alone is ~9 GB of traffic) dwarf the ~0.5 TFLOP of conv math —
+    so halving activation bytes is the first-order win. Eval-mode BN is a
+    per-channel affine, FOLDED into the conv weights/bias here (zero extra
+    passes); the tiny attention head stays f32.
 
     Perf note: a fused Pallas "transposed row-strip Toeplitz" kernel for
     this stack was built and measured in round 3 — 24.4 ms vs XLA's
@@ -126,6 +148,24 @@ def scene_cnn_apply(params, state, patches, train: bool, mask=None):
     overlaps its own conv better) — so the XLA conv stack stays
     (BASELINE.md round-3 breakdown).
     """
+    if compute_dtype is not None and not train:
+        eps = 1e-5
+        folded = {}
+        for conv, bn in (("conv1", "bn1"), ("conv2", "bn2")):
+            g = params[bn]["scale"] * jax.lax.rsqrt(state[bn]["var"] + eps)
+            folded[conv] = {
+                "w": params[conv]["w"] * g,  # (3,3,I,O) * (O,)
+                "b": (params[conv]["b"] - state[bn]["mean"]) * g
+                     + params[bn]["bias"],
+            }
+        x = conv_apply(folded["conv1"], patches, compute_dtype)
+        x = jax.nn.relu(x)
+        x = max_pool_2x2(x)
+        x = conv_apply(folded["conv2"], x, compute_dtype)
+        x = jax.nn.relu(x)
+        x = max_pool_2x2(x)  # (B, 8, 8, C)
+        return attention_head(params, x.astype(jnp.float32)), state
+
     x = conv_apply(params["conv1"], patches)
     x, bn1 = bn_apply(params["bn1"], state["bn1"], x, train, mask=mask)
     x = jax.nn.relu(x)

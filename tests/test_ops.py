@@ -190,3 +190,48 @@ def test_masked_bn_matches_valid_rows_only():
                 np.asarray(st_masked[k][stat]), np.asarray(st_valid[k][stat]),
                 rtol=1e-5, atol=1e-7, err_msg=f"{k}/{stat}",
             )
+
+
+def test_scene_cnn_folded_bf16_eval_path():
+    """The compute_dtype eval path folds eval-mode BN into the conv
+    weights: with compute_dtype=f32 it must match the standard eval path to
+    float tolerance, and with bf16 it must stay within bf16 tolerance
+    (the decoder's bf16 A/B discipline, ops/cnn.py::scene_cnn_apply)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from mggan_tpu.ops.cnn import scene_cnn_init, scene_cnn_apply
+
+    key = jax.random.PRNGKey(0)
+    params, state = scene_cnn_init(key, channels_cnn=16)
+    # non-trivial BN state so the folding actually matters
+    state = {
+        bn: {
+            "mean": jax.random.normal(jax.random.PRNGKey(7), (16,)) * 0.3,
+            "var": jax.random.uniform(jax.random.PRNGKey(8), (16,),
+                                      minval=0.5, maxval=2.0),
+        }
+        for bn in ("bn1", "bn2")
+    }
+    x = jax.random.uniform(jax.random.PRNGKey(1), (10, 33, 33, 4),
+                           minval=-1.0, maxval=1.0)
+
+    ref, _ = scene_cnn_apply(params, state, x, train=False)
+    folded_f32, _ = scene_cnn_apply(params, state, x, train=False,
+                                    compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(folded_f32), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+    folded_bf16, st = scene_cnn_apply(params, state, x, train=False,
+                                      compute_dtype=jnp.bfloat16)
+    assert folded_bf16.dtype == jnp.float32  # attention head restores f32
+    assert st is state  # eval: state untouched
+    err = np.abs(np.asarray(folded_bf16) - np.asarray(ref))
+    scale = np.abs(np.asarray(ref)).max()
+    assert err.max() <= 0.05 * max(scale, 1e-3), (err.max(), scale)
+
+    # train-mode ignores compute_dtype (batch stats + grads stay f32)
+    tr_ref, _ = scene_cnn_apply(params, state, x, train=True)
+    tr_cd, _ = scene_cnn_apply(params, state, x, train=True,
+                               compute_dtype=jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(tr_cd), np.asarray(tr_ref))

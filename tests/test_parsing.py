@@ -218,3 +218,12 @@ def test_window_scene_inclusive():
     wi = parsing.window_scene(rows(12), seq_len=8, skip=2, inclusive=True)
     assert len(wi) == 3
     np.testing.assert_allclose(wi[-1][0][0, -1, 0], 1.1, atol=1e-6)
+
+    # skip>1, (F-L) NOT a multiple of skip: the strided grid's last start
+    # (floor((11-8)/2)*2 = 2) ends at frame 9, so a clamped start at F-L=3
+    # is appended — the newest frame (10) is still covered (ADVICE r3)
+    wi = parsing.window_scene(rows(11), seq_len=8, skip=2, inclusive=True)
+    assert len(wi) == 3  # starts 0, 2, and clamped 3
+    np.testing.assert_allclose(wi[-1][0][0, -1, 0], 1.0, atol=1e-6)
+    # training-parity path unchanged: ceil((11-8)/2) = 2 windows
+    assert len(parsing.window_scene(rows(11), seq_len=8, skip=2)) == 2
