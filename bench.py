@@ -77,7 +77,7 @@ def bench_sampling(compute_dtype=None):
         bv = batch_views(batch)
         enc_h, soc, _ = G_mod.encode(
             g_params, g_state, g_spec, bv.in_xy, bv.in_dxdy, bv.ped_mask,
-            bv.patches, train=False,
+            bv.patches, train=False, compute_dtype=compute_dtype,
         )
         logits = G_mod.pm_logits(g_params, g_spec, enc_h)
         gen_idxs = sampling.categorical(k2, logits, K)
@@ -104,6 +104,89 @@ def bench_sampling(compute_dtype=None):
         float(out)  # drains the queue
         best_dt = min(best_dt, time.perf_counter() - t0)
     return n_iters * S_SAMPLE * P * K / best_dt
+
+
+def _timed_best(fn, n_iters=5, windows=3):
+    """Best-of-windows sustained per-call seconds; ``fn()`` must return a
+    device scalar (fetched once per window — the tunnel-safe fence)."""
+    float(fn())  # compile + sync
+    best_dt = float("inf")
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            out = fn()
+        float(out)
+        best_dt = min(best_dt, time.perf_counter() - t0)
+    return best_dt / n_iters
+
+
+def bench_stages():
+    """Per-stage roofline measurements (VERDICT r3 #3): the scene CNN
+    (f32 and the folded-BN bf16 eval path) and the fused-selection decode
+    kernel, each isolated in its own jit on the sampling batch's shapes,
+    reported as achieved TFLOP/s, % of v5e peak, and distance from the
+    (compute, memory)-roofline speed of light."""
+    import jax
+    import jax.numpy as jnp
+
+    from mggan_tpu.models import factory
+    from mggan_tpu.models import generator as G_mod
+    from mggan_tpu.ops import sampling
+    from mggan_tpu.ops.cnn import scene_cnn_apply
+    from mggan_tpu.training.steps import batch_views
+    from mggan_tpu.utils import roofline
+
+    cfg = _flagship_config()
+    g_pack, _ = factory.construct_model(cfg, jax.random.PRNGKey(0))
+    g_params, g_state, g_spec = g_pack
+    batch = _make_batch(S_SAMPLE, P)
+    n_patches = S_SAMPLE * P
+    flat_patches = batch["patches"].reshape(n_patches, 33, 33, 4)
+
+    out = {}
+    for name, cd in (("cnn_f32", None), ("cnn_bf16", jnp.bfloat16)):
+        f = jax.jit(lambda x, cd=cd: scene_cnn_apply(
+            g_params["scene"], g_state["scene"], x, train=False,
+            compute_dtype=cd)[0].sum())
+        dt = _timed_best(lambda: f(flat_patches))
+        fl = roofline.scene_cnn_flops(
+            n_patches, channels=16, dtype_bytes=2 if cd is not None else 4)
+        out[name] = {"ms": round(dt * 1e3, 2), **roofline.stage_report(
+            fl["executed"], fl["min_bytes"], dt)}
+
+    # decode-only: encode once outside the timed jit, keep results on device
+    @jax.jit
+    def prep(g_params, g_state, batch, key):
+        k1, k2 = jax.random.split(key)
+        bv = batch_views(batch)
+        enc_h, soc, _ = G_mod.encode(
+            g_params, g_state, g_spec, bv.in_xy, bv.in_dxdy, bv.ped_mask,
+            bv.patches, train=False)
+        logits = G_mod.pm_logits(g_params, g_spec, enc_h)
+        gen_idxs = sampling.categorical(k2, logits, K)
+        noise = sampling.global_noise(k1, K, S_SAMPLE, P, cfg.noise_dim)
+        return (bv.in_xy[:, :, -1], bv.in_dxdy[:, :, -1], enc_h, soc,
+                noise, gen_idxs)
+
+    last_xy, last_dxdy, enc_h, soc, noise, gen_idxs = jax.block_until_ready(
+        prep(g_params, g_state, batch, jax.random.PRNGKey(3)))
+
+    @jax.jit
+    def dec(g_params, last_xy, last_dxdy, enc_h, soc, noise, gen_idxs):
+        return G_mod.decode_select(
+            g_params, g_spec, last_xy, last_dxdy, enc_h, soc, noise,
+            gen_idxs, None).abs.sum()
+
+    dt = _timed_best(
+        lambda: dec(g_params, last_xy, last_dxdy, enc_h, soc, noise,
+                    gen_idxs))
+    rows = K * S_SAMPLE * P
+    fl = roofline.decoder_flops(
+        g=cfg.num_gens, h=cfg.decoder_h_dim, in_dim=2,
+        soc_f=g_spec.social_out_dim, rows=rows, pred_len=12, select=True)
+    out["decode"] = {"ms": round(dt * 1e3, 2), **roofline.stage_report(
+        fl["executed"], fl["min_bytes"], dt, flops_useful=fl["useful"])}
+    return out
 
 
 def bench_train_step():
@@ -140,7 +223,19 @@ def bench_train_step():
         state, metrics = step(state, batch)
     float(metrics["train/gen_loss"])
     dt = (time.perf_counter() - t0) / n_iters
-    return dt, compile_s, warmup_s
+
+    # XLA's own HLO flop count for the compiled step (covers everything
+    # except the Pallas custom-calls, which utils/roofline.py adds
+    # analytically). May be unavailable through the remote backend.
+    xla_flops = None
+    try:
+        ca = step.lower(state, batch).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        xla_flops = float(ca["flops"])
+    except Exception:
+        pass
+    return dt, compile_s, warmup_s, xla_flops
 
 
 def bench_train_step_guarded(timeout_s=1200):
@@ -153,9 +248,9 @@ def bench_train_step_guarded(timeout_s=1200):
     code = (
         "import sys, json; sys.path.insert(0, %r)\n"
         "import bench\n"
-        "dt, cs, ws = bench.bench_train_step()\n"
+        "dt, cs, ws, xf = bench.bench_train_step()\n"
         "print('TRAINBENCH ' + json.dumps("
-        "{'step_s': dt, 'compile_s': cs, 'warmup_s': ws}))\n"
+        "{'step_s': dt, 'compile_s': cs, 'warmup_s': ws, 'xla_flops': xf}))\n"
         % os.path.dirname(os.path.abspath(__file__))
     )
     try:
@@ -166,10 +261,11 @@ def bench_train_step_guarded(timeout_s=1200):
         for line in r.stdout.splitlines():
             if line.startswith("TRAINBENCH "):
                 d = json.loads(line[len("TRAINBENCH "):])
-                return d["step_s"], d["compile_s"], d["warmup_s"]
+                return (d["step_s"], d["compile_s"], d["warmup_s"],
+                        d.get("xla_flops"))
     except subprocess.TimeoutExpired:
         pass
-    return None, None, None
+    return None, None, None, None
 
 
 def bench_host_pipeline():
@@ -215,11 +311,16 @@ def main():
 
     traj_per_sec = bench_sampling()
     traj_per_sec_bf16 = bench_sampling(compute_dtype=jnp.bfloat16)
-    step_s, compile_s, warmup_s = bench_train_step_guarded()
+    stages = bench_stages()
+    step_s, compile_s, warmup_s, xla_flops = bench_train_step_guarded()
     pipe = bench_host_pipeline()
 
     extra = {
         "sampling_bf16_traj_per_sec": round(traj_per_sec_bf16, 1),
+        "decode_mfu_pct": stages["decode"]["mfu_pct"],
+        "cnn_mfu_pct": stages["cnn_f32"]["mfu_pct"],
+        "cnn_bf16_mfu_pct": stages["cnn_bf16"]["mfu_pct"],
+        "stages": stages,
         "pipeline_bank_batches_per_sec": round(pipe["bank"], 2),
         "pipeline_bank_agents_per_sec": round(pipe["bank"] * S_TRAIN * P, 1),
         "pipeline_hostassembly_batches_per_sec": round(pipe["host"], 2),
@@ -232,6 +333,25 @@ def main():
             train_compile_s=round(compile_s, 1),
             session_warmup_s=round(warmup_s, 1),
         )
+        if xla_flops:
+            from mggan_tpu.config import Config
+            from mggan_tpu.utils import roofline
+
+            d = Config()  # flagship defaults used by _flagship_config
+            rows_g = S_TRAIN * P * d.num_samples          # G-step, fwd+bwd
+            rows_d = S_TRAIN * P * (1 + d.num_expectation_samples)  # D + PM
+            tf = roofline.train_step_flops(
+                xla_flops, g=4, h=32, in_dim=2, soc_f=32,
+                rows_g=rows_g, rows_d=rows_d, pred_len=12)
+            # min bytes: the dominant guaranteed HBM traffic is the train
+            # kernel's (h, c) residual stream (write fwd + read bwd);
+            # batch + 3x params are minor adders. A lower bound by design.
+            resid = 2 * rows_g * 12 * 2 * 4 * 32 * 4
+            extra["train_roofline"] = {
+                "xla_flops": xla_flops, "pallas_flops": tf["pallas"],
+                **roofline.stage_report(tf["executed"], resid, step_s),
+            }
+            extra["train_mfu_pct"] = extra["train_roofline"]["mfu_pct"]
     else:
         agents_per_sec = None
         extra["train_bench"] = "timed out (remote compile service)"
