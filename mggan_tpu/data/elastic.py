@@ -87,6 +87,12 @@ def make_global_batch(local_batch: dict, mesh):
     existing dp.py path). Multi-process: each host contributes its local
     scene rows via ``jax.make_array_from_process_local_data`` — no
     cross-host data movement; XLA addresses each host's shard locally.
+
+    Leaves may be host numpy OR process-local device arrays (the
+    shard-local patch bank's gathered ``big_patches``,
+    data/patch_bank.py::maybe_build_bank): ``np.asarray`` fetches device
+    leaves before reassembly. The D2H bounce costs one contiguous copy —
+    still far cheaper than the per-ped host assembly loop it replaces.
     """
     import jax
     from mggan_tpu.parallel.mesh import batch_sharding

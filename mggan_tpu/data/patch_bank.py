@@ -104,18 +104,24 @@ def maybe_build_bank(
     assembly path)."""
     if not enabled or ds.big_patches is None:
         return None
+    if bank_nbytes(len(ds.trajectories), max_peds) + live_bank_bytes() > max_bytes:
+        return None
     if mesh is not None:
         import jax
 
         if jax.process_count() > 1:
-            # A mesh-replicated bank is a global array jax assumes holds
-            # IDENTICAL values on every process, but on a pod each host
-            # builds it from its own disjoint window shard
-            # (data/elastic.py) — the invariant would be silently violated.
-            # Fall back to host-side patch assembly for multi-host runs.
-            return None
-    if bank_nbytes(len(ds.trajectories), max_peds) + live_bank_bytes() > max_bytes:
-        return None
+            # SHARD-LOCAL bank: a mesh-replicated bank would be a global
+            # array jax assumes holds IDENTICAL values on every process,
+            # but on a pod each host builds it from its own disjoint
+            # elastic window shard (data/elastic.py) — so instead each
+            # process banks ONLY its shard on its first addressable
+            # device. Gathered rows are process-local (exactly this
+            # host's scene rows) and re-enter the global batch through
+            # elastic.make_global_batch, which accepts device leaves.
+            bank = DevicePatchBank(ds, max_peds,
+                                   device=jax.local_devices()[0])
+            _LIVE_BANKS.add(bank)
+            return bank
     bank = DevicePatchBank(ds, max_peds, mesh=mesh)
     _LIVE_BANKS.add(bank)
     return bank

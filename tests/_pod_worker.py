@@ -72,6 +72,25 @@ def main():
         "max_peds": int(shard_loader.max_peds),
     }
 
+    # Shard-local patch bank (data/patch_bank.py): each process banks only
+    # its own elastic window shard on a local device; the gathered
+    # big_patches must equal host assembly bitwise, per batch, on the live
+    # pod runtime.
+    import numpy as np
+
+    mesh0 = mesh_lib.make_mesh(dp=jax.device_count())
+    bank_loader = get_dataloader(
+        cfg.dataset, "train", batch_size=4, shard_by_process=True,
+        patch_bank=True, bank_mesh=mesh0,
+    )
+    assert bank_loader.patch_bank is not None, "bank fell back on the pod"
+    bank_ok = True
+    bank_sum = 0
+    for bh, bb in zip(shard_loader, bank_loader):
+        got = np.asarray(bb["big_patches"])
+        bank_ok &= bool((got == bh["big_patches"]).all())
+        bank_sum += int(got.astype(np.int64).sum())
+
     mesh = mesh_lib.make_mesh(dp=jax.device_count())
     # Contiguous scene split -> the assembled global batch has exactly the
     # single-process row order, so metrics are directly comparable.
@@ -103,6 +122,8 @@ def main():
     out = {
         "pid": pid,
         "batch_checksum": checksum,
+        "bank_ok": bank_ok,
+        "bank_sum": bank_sum,
         "elastic": elastic_info,
         "metrics": {k: float(v) for k, v in metrics.items()},
         "reduced_sums": {k: list(v) for k, v in sorted(reduced.items())},

@@ -77,6 +77,12 @@ def test_two_process_pod_matches_single_process():
     assert results[0]["elastic"] == results[1]["elastic"]
     assert results[0]["elastic"]["max_peds"] == ref["elastic"]["max_peds"]
 
+    # shard-local patch bank: on every process (pod AND single) the device
+    # bank's gathered big_patches equal host assembly bitwise, and the two
+    # pod shards together cover exactly the single process's patch mass
+    assert all(r["bank_ok"] for r in results + [ref])
+    assert results[0]["bank_sum"] + results[1]["bank_sum"] == ref["bank_sum"]
+
     # one sharded train step: pod == single process (Gloo reduction order
     # may differ from the in-process all-reduce -> tolerance, not bitwise)
     for k, v in ref["metrics"].items():
