@@ -189,3 +189,67 @@ def test_trainer_dp_with_patch_bank(tmp_path):
                               config=cfg, tensorboard=False)
     tr = Trainer(cfg, writer).train()
     assert int(tr.state.step) > 0
+
+
+def test_pallas_decode_under_mesh_interpret():
+    """Pallas kernels under shard_map on the 8-device mesh (interpret mode):
+    pins the semantics the factory's pallas-x-mesh gate protects
+    (models/factory.py:34-39) so real multi-chip hardware has ready
+    scaffolding — rows batch-sharded, weights replicated, both the
+    fused-selection forward and the train fwd+bwd custom-VJP path must
+    equal the single-device run."""
+    from jax.sharding import PartitionSpec as P
+    from test_pallas_decoder import make_inputs
+    from mggan_tpu.ops.pallas import decoder as dec
+
+    G, N = 2, 64  # 8 rows per device
+    stacked, xy, dxdy, soc, h0 = make_inputs("rel", G=G, N=N, EMB=8, H=16,
+                                             F=4, seed=7)
+    idx = jax.random.randint(jax.random.PRNGKey(3), (N,), 0, G)
+    onehot = jax.nn.one_hot(idx, G)
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:8]), ("data",))
+
+    dec.INTERPRET = True
+    try:
+        # --- fused-selection forward, batch-sharded over the mesh
+        def select(st, xy, dxdy, soc, h0, oh):
+            a, r = dec.pallas_decode_select(st, xy, dxdy, soc, h0, oh, 12,
+                                            "rel")
+            return a, r
+
+        # check_vma=False: pallas_call's out_shape carries no vma info
+        sharded_select = jax.jit(jax.shard_map(
+            select, mesh=mesh,
+            in_specs=(P(), P("data"), P("data"), P("data"), P("data"),
+                      P("data")),
+            out_specs=(P("data"), P("data")), check_vma=False,
+        ))
+        got_abs, got_rel = sharded_select(stacked, xy, dxdy, soc, h0, onehot)
+        want_abs, want_rel = select(stacked, xy, dxdy, soc, h0, onehot)
+        np.testing.assert_allclose(np.asarray(got_abs), np.asarray(want_abs),
+                                   atol=2e-5)
+        np.testing.assert_allclose(np.asarray(got_rel), np.asarray(want_rel),
+                                   atol=2e-5)
+
+        # --- train fwd + fused backward kernel (custom VJP) under the mesh
+        def loss(p, xy, dxdy, soc, h0):
+            a, r = dec.pallas_decode_all(p, xy, dxdy, soc, h0, 12, "rel")
+            return (a ** 2).sum() + (r * 0.3).sum()
+
+        def shard_grad(p, xy, dxdy, soc, h0):
+            g = jax.grad(loss)(p, xy, dxdy, soc, h0)
+            # params are replicated: per-shard partial grads -> global
+            return jax.tree.map(lambda t: jax.lax.psum(t, "data"), g)
+
+        grads_mesh = jax.jit(jax.shard_map(
+            shard_grad, mesh=mesh,
+            in_specs=(P(), P("data"), P("data"), P("data"), P("data")),
+            out_specs=P(), check_vma=False,
+        ))(stacked, xy, dxdy, soc, h0)
+        grads_one = jax.grad(loss)(stacked, xy, dxdy, soc, h0)
+        for a, b in zip(jax.tree.leaves(grads_mesh),
+                        jax.tree.leaves(grads_one)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-4)
+    finally:
+        dec.INTERPRET = False
