@@ -176,6 +176,81 @@ def main():
     G, D = construct_model(cfg)
     model = PiNetMultiGeneratorGAN(G, D, cfg, tt.Experiment())
 
+    if cfg.gan_obj == "W":
+        # --- spec-bug patch #2: the reference's gan_obj=W is dead code —
+        # calc_gradient_penalty (utils.py:42-68) calls netD(*inputs) without
+        # the required seq_start_end (TypeError), and under gan_type=mgan/
+        # infogan D returns a tuple so .size() would crash next. Minimal
+        # repair keeping the reference's GP math as written: remember each
+        # real D call's (seq_start_end, img, mask), inject them into the GP
+        # call, and take scores from the tuple.
+        import mggan.model.train as ref_train
+        import mggan.utils as ref_utils
+        from torch import autograd
+
+        d_ctx = {}
+        orig_D_forward = type(model.D).forward
+
+        def recording_forward(self, in_xy, in_dxdy, pred_xy, pred_dxdy,
+                              seq_start_end, *a, **kw):
+            d_ctx["sse"] = seq_start_end
+            d_ctx["img"] = kw.get("img")
+            d_ctx["mask"] = kw.get("mask")
+            return orig_D_forward(self, in_xy, in_dxdy, pred_xy, pred_dxdy,
+                                  seq_start_end, *a, **kw)
+
+        type(model.D).forward = recording_forward
+
+        def patched_gp(netD, in_xy, in_dxdy, gt_xy, gt_dxdy, pred_xy,
+                       pred_dxdy, gp_lambda=10):
+            # Standard WGAN-GP on the interpolated FUTURES. The reference's
+            # own norm target (gradients[0] = d D/d in_xy) is identically
+            # zero under its default inp_format='rel' (encode() never reads
+            # xy, discriminators.py:113-123), so 'as written' would be a
+            # constant no-op; this repair matches mggan_tpu's documented
+            # 'GP per intent' deviation so both frameworks train the same
+            # objective.
+            if pred_xy.dim() == 4:  # (T, num_samples=1, b, 2) from the D-step
+                pred_xy, pred_dxdy = pred_xy[:, 0], pred_dxdy[:, 0]
+            alpha = torch.rand(1, in_xy.size(1), 1)
+            inter_xy = (alpha * gt_xy + (1 - alpha) * pred_xy).requires_grad_()
+            inter_dxdy = (
+                alpha * gt_dxdy + (1 - alpha) * pred_dxdy
+            ).requires_grad_()
+            inputs = (inter_xy, inter_dxdy)
+            out = orig_D_forward(
+                netD, in_xy, in_dxdy, inter_xy, inter_dxdy, d_ctx["sse"],
+                img=d_ctx["img"], mask=d_ctx["mask"],
+            )
+            if isinstance(out, tuple):
+                out = out[0]
+            grads = autograd.grad(
+                outputs=out, inputs=inputs,
+                grad_outputs=torch.ones(out.size()),
+                create_graph=True, retain_graph=True, only_inputs=True,
+                allow_unused=True,
+            )
+            # per-agent norm over the (T, 2)-per-input gradient, matching
+            # mggan_tpu's steps.py::_gradient_penalty (inputs are (T, b, 2))
+            flat = torch.cat(
+                [(g if g is not None else torch.zeros_like(i))
+                 .permute(1, 0, 2).flatten(1)
+                 for g, i in zip(grads, inputs)], dim=1)
+            return ((flat.norm(2, dim=1) - 1) ** 2).mean() * gp_lambda
+
+        ref_train.calc_gradient_penalty = patched_gp
+        ref_utils.calc_gradient_penalty = patched_gp
+
+        # W's phi_* collapse to scalars (abstract_train.py:76-79) but
+        # generator_step reweights adv_loss ELEMENTWISE (train.py:93-96 —
+        # IndexError on a 0-dim tensor); the other three objectives use
+        # reduction='none' criteria. Make W elementwise too; the D-step's
+        # own .mean() (train.py:157,198) and the G-step's reweight+.mean()
+        # then reduce them identically to the intended Wasserstein terms.
+        model.phi_1 = lambda dreal, lreal, lfake: -dreal
+        model.phi_2 = lambda dfake, lreal, lfake: dfake
+        model.phi_3 = lambda dfake, lreal, lfake: -dfake
+
     t0 = time.time()
     model.train()
     train_s = time.time() - t0

@@ -1,0 +1,90 @@
+"""Drive the convergence-parity harness over the config-matrix variants
+(VERDICT r3 #2): one reference-vs-ours pair per variant, each exercising a
+training path that previously had only one-step tests:
+
+* ``W``        — gan_obj=W: WGAN objective + gradient-penalty
+                 grads-of-grads in anger (reference train.py:150-160; our
+                 steps.py::_gradient_penalty). The reference's W path is
+                 dead code as written — run_reference.py carries the
+                 minimal monkeypatch repair (documented there).
+* ``infogan``  — gan_type=infogan: the latent-code reconstruction branch
+                 (reference train.py:120-138; our steps.py infogan terms).
+* ``augment``  — augment=1: the full rotation/flip augmentation pipeline,
+                 behaviourally validating the bilinear-vs-nearest patch
+                 deviation (PARITY deviation 5).
+* ``sgan``     — pool_type=sgan: PoolHiddenNet pooling end-to-end
+                 (reference social_gan.py:157-250; our ops/social.py).
+
+Each variant trains BOTH frameworks on the identical generated dataset and
+identical hyperparameters, evaluates with each framework's own eval stack,
+and writes ``benchmarks/convergence/results/<variant>/summary.json`` via
+compare.py. Cross-framework checkpoint evals are exercised by the base
+experiments (results/{,ng4,discrete}) and skipped here for wall-clock.
+
+Serial by design: this host has ONE core; parallel runs would contend and
+corrupt the wall-time columns.
+
+    python benchmarks/convergence/run_variants.py \
+        [--epochs 80] [--variants W infogan augment sgan]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+HERE = Path(__file__).resolve().parent
+
+VARIANTS = {
+    "W": ["gan_obj=W"],
+    "infogan": ["gan_type=infogan"],
+    "augment": ["augment=1"],
+    "sgan": ["pool_type=sgan"],
+}
+
+
+def run(cmd):
+    print("+", " ".join(map(str, cmd)), flush=True)
+    subprocess.run([str(c) for c in cmd], check=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data", default="/tmp/mggan_convergence")
+    ap.add_argument("--epochs", type=int, default=80)
+    ap.add_argument("--val_every", type=int, default=10)
+    ap.add_argument("--variants", nargs="+", default=list(VARIANTS))
+    ap.add_argument("--skip_reference", action="store_true")
+    args = ap.parse_args()
+
+    data = Path(args.data)
+    if not (data / "data" / "datasets" / "eth" / "train").exists():
+        run([sys.executable, HERE / "make_dataset.py", "--out", data])
+
+    for name in args.variants:
+        extra = VARIANTS[name]
+        out = data / f"variant_{name}"
+        res_dir = HERE / "results" / name
+        res_dir.mkdir(parents=True, exist_ok=True)
+        common = [
+            "--data", data, "--epochs", args.epochs,
+            "--val_every", args.val_every, "--extra", *extra,
+        ]
+        if not args.skip_reference:
+            run([sys.executable, HERE / "run_reference.py",
+                 "--out", out / "ref", *common])
+        run([sys.executable, HERE / "run_ours.py",
+             "--out", out / "ours", *common])
+        run([sys.executable, HERE / "compare.py", "--results",
+             out / "ref" / "results.json", out / "ours" / "results.json",
+             "--out", res_dir / "summary.json"])
+        print(f"=== variant {name} done ===", flush=True)
+
+    print(json.dumps({"variants_done": args.variants}))
+
+
+if __name__ == "__main__":
+    main()
