@@ -19,6 +19,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import tempfile
 import time
 
 import numpy as np
@@ -189,13 +190,23 @@ def bench_stages():
     return out
 
 
-def bench_train_step():
-    """Fused D+G+PM step latency on the flagship config (4096 agents)."""
+def bench_train_step(cache_dir=None, n_iters=30):
+    """Fused D+G+PM step latency on the flagship config (4096 agents).
+
+    ``cache_dir`` enables the persistent compilation cache (VERDICT r3 #6:
+    measured to work through the axon remote-compile path — see the
+    cold-start rows in BASELINE.md); a second process with the same dir
+    deserializes executables instead of recompiling."""
     import jax
 
     from mggan_tpu.models import factory
     from mggan_tpu.training.state import init_train_state
     from mggan_tpu.training.steps import build_train_step
+
+    if cache_dir:
+        from mggan_tpu.utils.profiling import enable_compilation_cache
+
+        enable_compilation_cache(cache_dir)
 
     cfg = _flagship_config(batch_size=S_TRAIN)
     g_pack, d_pack = factory.construct_model(cfg, jax.random.PRNGKey(0))
@@ -217,12 +228,13 @@ def bench_train_step():
     float(metrics["train/gen_loss"])  # real sync (see bench_sampling note)
     compile_s = time.perf_counter() - t0
 
-    n_iters = 30
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        state, metrics = step(state, batch)
-    float(metrics["train/gen_loss"])
-    dt = (time.perf_counter() - t0) / n_iters
+    dt = None
+    if n_iters:
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            state, metrics = step(state, batch)
+        float(metrics["train/gen_loss"])
+        dt = (time.perf_counter() - t0) / n_iters
 
     # XLA's own HLO flop count for the compiled step (covers everything
     # except the Pallas custom-calls, which utils/roofline.py adds
@@ -238,7 +250,7 @@ def bench_train_step():
     return dt, compile_s, warmup_s, xla_flops
 
 
-def bench_train_step_guarded(timeout_s=1200):
+def bench_train_step_guarded(timeout_s=1200, cache_dir=None, n_iters=30):
     """The full train step (with the Pallas fwd+bwd decoder) can take
     minutes to compile through the remote-compile tunnel; run it in a
     bounded subprocess so a slow compile service can't kill the whole
@@ -248,10 +260,10 @@ def bench_train_step_guarded(timeout_s=1200):
     code = (
         "import sys, json; sys.path.insert(0, %r)\n"
         "import bench\n"
-        "dt, cs, ws, xf = bench.bench_train_step()\n"
+        "dt, cs, ws, xf = bench.bench_train_step(cache_dir=%r, n_iters=%d)\n"
         "print('TRAINBENCH ' + json.dumps("
         "{'step_s': dt, 'compile_s': cs, 'warmup_s': ws, 'xla_flops': xf}))\n"
-        % os.path.dirname(os.path.abspath(__file__))
+        % (os.path.dirname(os.path.abspath(__file__)), cache_dir, n_iters)
     )
     try:
         r = subprocess.run(
@@ -312,7 +324,15 @@ def main():
     traj_per_sec = bench_sampling()
     traj_per_sec_bf16 = bench_sampling(compute_dtype=jnp.bfloat16)
     stages = bench_stages()
-    step_s, compile_s, warmup_s, xla_flops = bench_train_step_guarded()
+    # First cold process populates the persistent compilation cache; a
+    # second cold process re-lowering the identical program measures the
+    # cached cold-start (VERDICT r3 #6 — works through axon, BASELINE.md).
+    cache_dir = os.path.join(
+        tempfile.gettempdir(), "mggan_bench_jaxcache")
+    step_s, compile_s, warmup_s, xla_flops = bench_train_step_guarded(
+        cache_dir=cache_dir)
+    _, compile_cached_s, warmup_cached_s, _ = bench_train_step_guarded(
+        timeout_s=600, cache_dir=cache_dir, n_iters=0)
     pipe = bench_host_pipeline()
 
     extra = {
@@ -333,6 +353,11 @@ def main():
             train_compile_s=round(compile_s, 1),
             session_warmup_s=round(warmup_s, 1),
         )
+        if compile_cached_s is not None:
+            # full cold-process cost to a ready train step, cache warm
+            extra["cold_start_cached_s"] = round(
+                warmup_cached_s + compile_cached_s, 1)
+            extra["train_compile_cached_s"] = round(compile_cached_s, 1)
         if xla_flops:
             from mggan_tpu.config import Config
             from mggan_tpu.utils import roofline
