@@ -39,10 +39,12 @@ from pathlib import Path
 HERE = Path(__file__).resolve().parent
 
 VARIANTS = {
-    "W": ["gan_obj=W"],
-    "infogan": ["gan_type=infogan"],
-    "augment": ["augment=1"],
-    "sgan": ["pool_type=sgan"],
+    "W": {"extra": ["gan_obj=W"]},
+    # the reference's infogan asserts n_gs == 1 (train.py:188: the latent
+    # code replaces the multi-generator mechanism) -> same on both sides
+    "infogan": {"extra": ["gan_type=infogan"], "args": ["--num_gens", "1"]},
+    "augment": {"extra": ["augment=1"]},
+    "sgan": {"extra": ["pool_type=sgan"]},
 }
 
 
@@ -65,13 +67,14 @@ def main():
         run([sys.executable, HERE / "make_dataset.py", "--out", data])
 
     for name in args.variants:
-        extra = VARIANTS[name]
+        spec = VARIANTS[name]
         out = data / f"variant_{name}"
         res_dir = HERE / "results" / name
         res_dir.mkdir(parents=True, exist_ok=True)
         common = [
             "--data", data, "--epochs", args.epochs,
-            "--val_every", args.val_every, "--extra", *extra,
+            "--val_every", args.val_every, *spec.get("args", []),
+            "--extra", *spec["extra"],
         ]
         if not args.skip_reference:
             run([sys.executable, HERE / "run_reference.py",
