@@ -280,6 +280,29 @@ def bench_train_step_guarded(timeout_s=1200, cache_dir=None, n_iters=30):
     return None, None, None, None
 
 
+def bench_serving_guarded(timeout_s=900):
+    """Serving p50/p99 + scenes/s under concurrent micro-batched load,
+    artifact vs live (benchmarks/serving_bench.py), in a bounded
+    subprocess so a slow AOT export can't kill the benchmark."""
+    import subprocess
+
+    script = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "benchmarks", "serving_bench.py",
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, script], capture_output=True, text=True,
+            timeout=timeout_s,
+        )
+        for line in r.stdout.splitlines()[::-1]:
+            if line.startswith("{"):
+                return json.loads(line)
+    except (subprocess.TimeoutExpired, json.JSONDecodeError):
+        pass
+    return None
+
+
 def bench_host_pipeline():
     """Ingestion: batches/s through PaddedBatcher + Prefetcher, for the
     device-resident patch-bank feed (the default train path) and the
@@ -333,6 +356,7 @@ def main():
         cache_dir=cache_dir)
     _, compile_cached_s, warmup_cached_s, _ = bench_train_step_guarded(
         timeout_s=600, cache_dir=cache_dir, n_iters=0)
+    serving = bench_serving_guarded()
     pipe = bench_host_pipeline()
 
     extra = {
@@ -345,6 +369,8 @@ def main():
         "pipeline_bank_agents_per_sec": round(pipe["bank"] * S_TRAIN * P, 1),
         "pipeline_hostassembly_batches_per_sec": round(pipe["host"], 2),
     }
+    if serving is not None:
+        extra["serving"] = serving
     if step_s is not None:
         agents_per_sec = S_TRAIN * P / step_s
         extra.update(

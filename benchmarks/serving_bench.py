@@ -1,13 +1,22 @@
 """Serving-runtime benchmark on the default backend (real chip under axon).
 
 Measures the deployment path (serving/runtime.py — no reference equivalent,
-the reference's only inference surface is scripts/evaluate.py):
+the reference's only inference surface is scripts/evaluate.py), for BOTH
+backends of the same contract (VERDICT r3 #9):
+
+* ``live``     — ServingModel.from_predictor (jit over live params);
+* ``artifact`` — the identical model exported to a self-contained
+  StableHLO artifact (cli/export.py) and reloaded via from_artifact, i.e.
+  exactly what a production host deserializes without the model code.
+
+Per backend:
 
 * single-scene request latency through ServingModel.predict (pad -> one
-  device call -> strip; the returned numpy array is the fence, so these are
-  honest end-to-end numbers through the tunnel);
-* micro-batched throughput: N client threads against one MicroBatcher,
-  requests/s and the realized device-batch occupancy.
+  device call -> strip; the returned numpy array is the fence, so these
+  are honest end-to-end numbers through the tunnel);
+* concurrent micro-batched load: N client threads against one
+  MicroBatcher — per-request p50/p99 latency, requests(=scenes)/s,
+  agents/s, and the realized device-batch occupancy.
 
 Usage: python benchmarks/serving_bench.py [--scenes 64] [--threads 32]
 Prints one JSON line.
@@ -26,7 +35,58 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def bench_model(model, obs, patches, args):
+    """Latency + concurrent micro-batched stats for one ServingModel."""
+    t0 = time.perf_counter()
+    model.predict(obs, patches=patches, seed=0)  # compile + warm
+    compile_s = time.perf_counter() - t0
+
+    # single-request latency (sequential; the numpy result is the fence)
+    lat = []
+    for i in range(args.latency_iters):
+        t0 = time.perf_counter()
+        model.predict(obs, patches=patches, seed=i)
+        lat.append(time.perf_counter() - t0)
+    lat_ms = np.asarray(lat) * 1e3
+
+    # concurrent micro-batched load: per-request latency measured inside
+    # each client thread -> p50/p99 UNDER LOAD, not sequential numbers
+    from concurrent.futures import ThreadPoolExecutor
+
+    with MicroBatcher(model, max_wait_ms=5.0) as mb:
+        def one(i):
+            t0 = time.perf_counter()
+            mb.predict(obs, patches=patches, seed=i, timeout=300.0)
+            return time.perf_counter() - t0
+
+        with ThreadPoolExecutor(args.threads) as ex:
+            list(ex.map(one, range(args.threads)))  # warm the queue path
+            # snapshot counters so warm-up requests/batches don't skew the
+            # timed window's occupancy (ADVICE r3)
+            req0, bat0 = mb.requests_served, mb.batches_run
+            t0 = time.perf_counter()
+            req_lat = list(ex.map(one, range(args.requests)))
+            dt = time.perf_counter() - t0
+        occupancy = (mb.requests_served - req0) / max(mb.batches_run - bat0, 1)
+
+    req_lat_ms = np.asarray(req_lat) * 1e3
+    return {
+        "compile_s": round(compile_s, 1),
+        "latency_ms_p50": round(float(np.percentile(lat_ms, 50)), 2),
+        "latency_ms_p95": round(float(np.percentile(lat_ms, 95)), 2),
+        "load_latency_ms_p50": round(float(np.percentile(req_lat_ms, 50)), 2),
+        "load_latency_ms_p99": round(float(np.percentile(req_lat_ms, 99)), 2),
+        "microbatch_requests_per_sec": round(args.requests / dt, 1),
+        "microbatch_scenes_per_sec": round(args.requests / dt, 1),
+        "microbatch_agents_per_sec": round(
+            args.requests * args.peds / dt, 1
+        ),
+        "mean_batch_occupancy": round(occupancy, 1),
+    }
+
+
 def main():
+    global MicroBatcher
     ap = argparse.ArgumentParser()
     ap.add_argument("--scenes", type=int, default=64)
     ap.add_argument("--peds", type=int, default=16)
@@ -34,10 +94,14 @@ def main():
     ap.add_argument("--threads", type=int, default=32)
     ap.add_argument("--requests", type=int, default=256)
     ap.add_argument("--latency_iters", type=int, default=30)
+    ap.add_argument("--skip_artifact", action="store_true")
     args = ap.parse_args()
+
+    import tempfile
 
     import jax
 
+    from mggan_tpu.cli.export import export_predictor, save_artifact
     from mggan_tpu.config import Config
     from mggan_tpu.eval.predict import Predictor
     from mggan_tpu.models import factory
@@ -51,9 +115,6 @@ def main():
         cfg, jax.random.PRNGKey(0)
     )
     predictor = Predictor(cfg, g_spec, g_params, g_state)
-    model = ServingModel.from_predictor(
-        predictor, "sampling", args.scenes, args.peds, args.num
-    )
 
     rng = np.random.RandomState(0)
     obs = (rng.randn(args.peds, 8, 2).astype(np.float32).cumsum(1) * 0.1)
@@ -61,47 +122,25 @@ def main():
     # request payload — per-ped 33x33x4 patches — not the zero-patch opt-out
     patches = rng.rand(args.peds, 33, 33, 4).astype(np.float32)
 
-    t0 = time.perf_counter()
-    model.predict(obs, patches=patches, seed=0)  # compile + warm
-    compile_s = time.perf_counter() - t0
+    out = {"backend": jax.default_backend(),
+           "compiled_batch_scenes": args.scenes}
 
-    # single-request latency (sequential; the numpy result is the fence)
-    lat = []
-    for i in range(args.latency_iters):
-        t0 = time.perf_counter()
-        model.predict(obs, patches=patches, seed=i)
-        lat.append(time.perf_counter() - t0)
-    lat_ms = np.asarray(lat) * 1e3
+    live = ServingModel.from_predictor(
+        predictor, "sampling", args.scenes, args.peds, args.num
+    )
+    out["live"] = bench_model(live, obs, patches, args)
 
-    # micro-batched concurrent throughput
-    from concurrent.futures import ThreadPoolExecutor
+    if not args.skip_artifact:
+        exported = export_predictor(
+            predictor, "sampling", args.scenes, args.peds, args.num)
+        with tempfile.TemporaryDirectory() as td:
+            path = os.path.join(td, "model.jaxexport")
+            save_artifact(exported, path, {
+                "wants_scene": g_spec.scene_dim > 0, "strategy": "sampling"})
+            art = ServingModel.from_artifact(path)
+            out["artifact"] = bench_model(art, obs, patches, args)
 
-    with MicroBatcher(model, max_wait_ms=5.0) as mb:
-        def one(i):
-            return mb.predict(obs, patches=patches, seed=i, timeout=300.0)
-
-        with ThreadPoolExecutor(args.threads) as ex:
-            list(ex.map(one, range(args.threads)))  # warm the queue path
-            # snapshot counters so warm-up requests/batches don't skew the
-            # timed window's occupancy (ADVICE r3)
-            req0, bat0 = mb.requests_served, mb.batches_run
-            t0 = time.perf_counter()
-            list(ex.map(one, range(args.requests)))
-            dt = time.perf_counter() - t0
-        occupancy = (mb.requests_served - req0) / max(mb.batches_run - bat0, 1)
-
-    print(json.dumps({
-        "backend": jax.default_backend(),
-        "compile_s": round(compile_s, 1),
-        "latency_ms_p50": round(float(np.percentile(lat_ms, 50)), 2),
-        "latency_ms_p95": round(float(np.percentile(lat_ms, 95)), 2),
-        "microbatch_requests_per_sec": round(args.requests / dt, 1),
-        "microbatch_agents_per_sec": round(
-            args.requests * args.peds / dt, 1
-        ),
-        "mean_batch_occupancy": round(occupancy, 1),
-        "compiled_batch_scenes": args.scenes,
-    }))
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -137,6 +137,36 @@ def scene_cnn_flops(batch, channels=16, in_ch=4, dtype_bytes=4):
             "min_bytes": min_bytes}
 
 
+def scene_cnn_traffic(batch, channels=16, in_ch=4, act_bytes=4):
+    """ATTAINABLE-traffic model for the XLA scene-CNN stack — unlike
+    ``scene_cnn_flops``'s speed-of-light ``min_bytes`` (inputs + outputs
+    only), this prices the inter-stage intermediates XLA actually
+    materializes in HBM (conv outputs consumed by reduce_window cannot
+    fuse into the producing convolution on TPU):
+
+        read patches f32; write+read conv1 out (B,33,33,C); write+read
+        pool1 (B,16,16,C); write+read conv2 out; write+read pool2
+        (B,8,8,C); attention-head reads + (B,64) f32 encoding out.
+
+    ``act_bytes`` = activation storage (2 for the bf16 eval path).
+    Dividing by HBM peak gives the attainable time for THIS program
+    structure; a fused single-kernel implementation could in principle
+    reach scene_cnn_flops' smaller min_bytes instead (measured in r3 to
+    lose end-to-end — BASELINE.md encode row)."""
+    conv1_out = batch * 33 * 33 * channels * act_bytes
+    pool1_out = batch * 16 * 16 * channels * act_bytes
+    conv2_out = batch * 16 * 16 * channels * act_bytes
+    pool2_out = batch * 8 * 8 * channels * act_bytes
+    return (
+        batch * 33 * 33 * in_ch * 4          # patches in, f32
+        + 2 * conv1_out                       # write + pool read
+        + 2 * pool1_out                       # write + conv2 read
+        + 2 * conv2_out                       # write + pool read
+        + 2 * pool2_out                       # write + attn read
+        + batch * 64 * 4                      # encoding out, f32
+    )
+
+
 def train_step_flops(xla_flops, g, h, in_dim, soc_f, rows_g, rows_d,
                      pred_len):
     """Fused D+G+PM train-step flops = XLA's own HLO cost analysis (covers
