@@ -18,6 +18,12 @@ Per backend:
   MicroBatcher — per-request p50/p99 latency, requests(=scenes)/s,
   agents/s, and the realized device-batch occupancy.
 
+Plus the scene-count-bucket lever (``--buckets``): the same live model
+compiled at {1, scenes} buckets, single-scene latency re-measured — a
+1-scene request pads to the 1-scene bucket and moves 1/scenes of the
+max-batch patch bytes over the interconnect (the dominant single-request
+cost through the tunnel).
+
 Usage: python benchmarks/serving_bench.py [--scenes 64] [--threads 32]
 Prints one JSON line.
 """
@@ -95,6 +101,11 @@ def main():
     ap.add_argument("--requests", type=int, default=256)
     ap.add_argument("--latency_iters", type=int, default=30)
     ap.add_argument("--skip_artifact", action="store_true")
+    ap.add_argument("--buckets", default="1",
+                    help="comma list of extra scene-count buckets; the "
+                         "bucketed section re-measures single-scene "
+                         "latency with programs at {buckets..., scenes}")
+    ap.add_argument("--skip_buckets", action="store_true")
     args = ap.parse_args()
 
     import tempfile
@@ -129,6 +140,29 @@ def main():
         predictor, "sampling", args.scenes, args.peds, args.num
     )
     out["live"] = bench_model(live, obs, patches, args)
+
+    if not args.skip_buckets:
+        # scene-count buckets (runtime.py::ServingModel): single-scene
+        # requests pad to the smallest compiled bucket, not the max batch
+        buckets = tuple(sorted(
+            {int(b) for b in args.buckets.split(",")} | {args.scenes}
+        ))
+        bucketed = ServingModel.from_predictor(
+            predictor, "sampling", args.scenes, args.peds, args.num,
+            scene_buckets=buckets,
+        )
+        bucketed.predict(obs, patches=patches, seed=0)  # compile + warm
+        lat = []
+        for i in range(args.latency_iters):
+            t0 = time.perf_counter()
+            bucketed.predict(obs, patches=patches, seed=i)
+            lat.append(time.perf_counter() - t0)
+        lat_ms = np.asarray(lat) * 1e3
+        out["bucketed"] = {
+            "buckets": list(buckets),
+            "latency_ms_p50": round(float(np.percentile(lat_ms, 50)), 2),
+            "latency_ms_p95": round(float(np.percentile(lat_ms, 95)), 2),
+        }
 
     if not args.skip_artifact:
         exported = export_predictor(

@@ -75,22 +75,34 @@ def export_predictor(predictor, strategy: str, scenes: int, peds: int,
 
 
 # Artifact container: a small JSON metadata header (wants_scene, strategy,
-# dataset provenance) in front of the raw jax.export payload. Header-less
-# files (round-3 artifacts) still load, with empty metadata.
+# dataset provenance) in front of one or more raw jax.export payloads —
+# multiple payloads are the per-scene-count bucket programs of ONE model
+# (serving pads a request only to the smallest bucket that fits, so small
+# requests move small tensors; runtime.py::ServingModel). The header's
+# "payload_lengths" lists each payload's byte length; absent = exactly one
+# payload (round-3/4 single-program artifacts). Header-less files (round-3
+# artifacts) still load, with empty metadata.
 _MAGIC = b"MGEX1\n"
 
 
 def save_artifact(exported, path, meta: dict | None = None):
+    """``exported``: one jax.export.Exported or a list of them (buckets)."""
     import json
 
-    header = json.dumps(meta or {}).encode()
+    exporteds = exported if isinstance(exported, (list, tuple)) else [exported]
+    payloads = [e.serialize() for e in exporteds]
+    meta = dict(meta or {})
+    if len(payloads) > 1:
+        meta["payload_lengths"] = [len(b) for b in payloads]
+    header = json.dumps(meta).encode()
     Path(path).write_bytes(
-        _MAGIC + len(header).to_bytes(4, "big") + header + exported.serialize()
+        _MAGIC + len(header).to_bytes(4, "big") + header + b"".join(payloads)
     )
 
 
-def load_artifact(path):
-    """Returns (jax.export.Exported, metadata dict)."""
+def load_artifact_all(path):
+    """Returns (list of jax.export.Exported, metadata dict) — every bucket
+    program in the artifact (single-program files give a 1-list)."""
     import json
 
     from jax import export as jexport
@@ -102,7 +114,19 @@ def load_artifact(path):
         start = len(_MAGIC) + 4
         meta = json.loads(data[start : start + n])
         data = data[start + n :]
-    return jexport.deserialize(data), meta
+    lengths = meta.get("payload_lengths", [len(data)])
+    exporteds, off = [], 0
+    for ln in lengths:
+        exporteds.append(jexport.deserialize(data[off : off + ln]))
+        off += ln
+    return exporteds, meta
+
+
+def load_artifact(path):
+    """Returns (jax.export.Exported, metadata dict) — the LARGEST bucket
+    program for multi-bucket artifacts (backwards-compatible surface)."""
+    exporteds, meta = load_artifact_all(path)
+    return max(exporteds, key=lambda e: e.in_avals[0].shape[0]), meta
 
 
 def get_arg_parser():
@@ -112,7 +136,11 @@ def get_arg_parser():
     p.add_argument("--checkpoint", default="best")
     p.add_argument("--out", required=True)
     p.add_argument("--strategy", default="sampling", choices=EXPORTABLE)
-    p.add_argument("--scenes", type=int, default=256)
+    p.add_argument("--scenes", default="256",
+                   help="max scenes per device call; a comma list (e.g. "
+                        "1,8,64) exports one program per scene-count "
+                        "bucket — serving pads a request only to the "
+                        "smallest bucket that fits")
     p.add_argument("--peds", type=int, default=16)
     p.add_argument("--num", type=int, default=20)
     p.add_argument("--platforms", default=None,
@@ -127,20 +155,25 @@ def main(argv=None):
     trainer, config = Trainer.load_from_path(Path(args.model_dir), args.checkpoint)
     platforms = args.platforms.split(",") if args.platforms else None
     predictor = trainer.predictor()
-    exported = export_predictor(
-        predictor, args.strategy, args.scenes, args.peds, args.num,
-        platforms=platforms,
-    )
+    buckets = sorted({int(s) for s in str(args.scenes).split(",")})
+    exporteds = [
+        export_predictor(
+            predictor, args.strategy, s, args.peds, args.num,
+            platforms=platforms,
+        )
+        for s in buckets
+    ]
     meta = {
         "wants_scene": predictor.g_spec.scene_dim > 0,
         "strategy": args.strategy,
         "dataset": config.dataset,
         "model_dir": str(args.model_dir),
     }
-    save_artifact(exported, args.out, meta)
+    save_artifact(exporteds if len(exporteds) > 1 else exporteds[0],
+                  args.out, meta)
     size = Path(args.out).stat().st_size
-    print(f"exported {args.strategy} (S={args.scenes}, P={args.peds}, "
-          f"k={args.num}) for {exported.platforms} -> {args.out} "
+    print(f"exported {args.strategy} (S={buckets}, P={args.peds}, "
+          f"k={args.num}) for {exporteds[0].platforms} -> {args.out} "
           f"({size / 1e6:.2f} MB)")
 
 

@@ -75,8 +75,11 @@ def get_arg_parser():
     p.add_argument("--strategy", default="sampling",
                    help="prediction strategy (only for --model_dir)")
     p.add_argument("--checkpoint", default="best")
-    p.add_argument("--scenes", type=int, default=64,
-                   help="compiled batch: max scenes per device call (--model_dir)")
+    p.add_argument("--scenes", default="64",
+                   help="compiled batch: max scenes per device call "
+                        "(--model_dir); a comma list (e.g. 1,8,64) compiles "
+                        "one program per scene-count bucket so small "
+                        "requests dispatch small programs")
     p.add_argument("--peds", type=int, default=16)
     p.add_argument("--num", type=int, default=20, help="samples per scene")
     # HTTP mode
@@ -116,10 +119,12 @@ def build_model(args):
             args.artifact, allow_missing_scene=args.allow_missing_scene
         )
     else:
+        buckets = sorted({int(s) for s in str(args.scenes).split(",")})
         model = ServingModel.from_version_dir(
-            args.model_dir, strategy=args.strategy, scenes=args.scenes,
+            args.model_dir, strategy=args.strategy, scenes=buckets[-1],
             peds=args.peds, num=args.num, checkpoint=args.checkpoint,
             allow_missing_scene=args.allow_missing_scene,
+            scene_buckets=buckets,
         )
     if args.scene_img:
         import cv2

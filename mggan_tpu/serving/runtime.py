@@ -76,13 +76,27 @@ class ServingModel:
     registering a scene image (``register_scene``) and letting
     ``crop_patches`` cut them server-side at each ped's last observed
     position — the same centre-crop the eval pipeline uses.
+
+    ``calls`` maps scene-count buckets to compiled programs: a request of
+    n scenes is padded only to the smallest bucket >= n, so a 1-scene
+    request moves (1,P,33,33,4) patch bytes over the interconnect instead
+    of the full max-batch tensor (64x less host<->device traffic at the
+    default shapes — the dominant single-request cost through a remote
+    tunnel, see BASELINE.md's serving table). ``scenes`` is the largest
+    bucket; a plain single-program model is the ``{scenes: call}`` case.
     """
 
-    def __init__(self, call, scenes: int, peds: int, num: int, *,
+    def __init__(self, calls, scenes: int, peds: int, num: int, *,
                  strategy: str = "?", source: str = "?",
                  wants_scene: bool | None = None,
                  allow_missing_scene: bool = False):
-        self._call = call
+        if callable(calls):
+            calls = {scenes: calls}
+        self._calls = dict(sorted(calls.items()))
+        self.buckets = tuple(self._calls)
+        assert scenes == self.buckets[-1], (
+            f"scenes={scenes} must equal the largest bucket {self.buckets}"
+        )
         self.scenes = scenes
         self.peds = peds
         self.num = num
@@ -103,13 +117,15 @@ class ServingModel:
     def from_artifact(cls, path, allow_missing_scene: bool = False) -> "ServingModel":
         """Load a serialized ``jax.export`` artifact; shapes come from its
         input avals and ``wants_scene`` from the metadata header (None for
-        legacy header-less artifacts)."""
-        from mggan_tpu.cli.export import load_artifact
+        legacy header-less artifacts). Multi-bucket artifacts
+        (cli/export.py ``--scenes 1,8,64``) load every bucket program."""
+        from mggan_tpu.cli.export import load_artifact_all
 
-        exported, meta = load_artifact(path)
-        s, p = exported.in_avals[0].shape[:2]
-        num = exported.out_avals[0].shape[0]  # pred_abs (num, S, P, 12, 2)
-        return cls(exported.call, s, p, num,
+        exporteds, meta = load_artifact_all(path)
+        calls = {e.in_avals[0].shape[0]: e.call for e in exporteds}
+        p = exporteds[0].in_avals[0].shape[1]
+        num = exporteds[0].out_avals[0].shape[0]  # pred_abs (num,S,P,12,2)
+        return cls(calls, max(calls), p, num,
                    strategy=meta.get("strategy", "artifact"),
                    source=str(Path(path)),
                    wants_scene=meta.get("wants_scene"),
@@ -117,8 +133,13 @@ class ServingModel:
 
     @classmethod
     def from_predictor(cls, predictor, strategy: str, scenes: int, peds: int,
-                       num: int, allow_missing_scene: bool = False) -> "ServingModel":
-        """Live (non-exported) path: jit the same serving function."""
+                       num: int, allow_missing_scene: bool = False,
+                       scene_buckets=None) -> "ServingModel":
+        """Live (non-exported) path: jit the same serving function.
+
+        ``scene_buckets``: optional ascending scene-count paddings (the
+        largest must equal ``scenes``); one jitted program per bucket,
+        compiled lazily on first use of that shape."""
         import functools
 
         import jax
@@ -128,19 +149,23 @@ class ServingModel:
         serve = jax.jit(functools.partial(
             build_serving_fn(predictor, strategy), num=num
         ))
-        return cls(serve, scenes, peds, num, strategy=strategy, source="live",
+        buckets = tuple(scene_buckets) if scene_buckets else (scenes,)
+        return cls({b: serve for b in buckets}, scenes, peds, num,
+                   strategy=strategy, source="live",
                    wants_scene=predictor.g_spec.scene_dim > 0,
                    allow_missing_scene=allow_missing_scene)
 
     @classmethod
     def from_version_dir(cls, version_dir, strategy="sampling", scenes=64,
                          peds=16, num=20, checkpoint="best",
-                         allow_missing_scene: bool = False) -> "ServingModel":
+                         allow_missing_scene: bool = False,
+                         scene_buckets=None) -> "ServingModel":
         from mggan_tpu.training.loop import Trainer
 
         trainer, _ = Trainer.load_from_path(Path(version_dir), checkpoint)
         m = cls.from_predictor(trainer.predictor(), strategy, scenes, peds,
-                               num, allow_missing_scene=allow_missing_scene)
+                               num, allow_missing_scene=allow_missing_scene,
+                               scene_buckets=scene_buckets)
         m.source = str(Path(version_dir))
         return m
 
@@ -217,16 +242,19 @@ class ServingModel:
         Returns:
             list of (num, p_i, 12, 2) absolute future positions.
         """
-        s, p = self.scenes, self.peds
-        if len(scene_obs) > s:
-            raise ValueError(f"{len(scene_obs)} scenes > compiled batch {s}")
-        for i in range(len(scene_obs)):
+        n, p = len(scene_obs), self.peds
+        if n > self.scenes:
+            raise ValueError(f"{n} scenes > compiled batch {self.scenes}")
+        # smallest bucket that fits: small requests dispatch small programs
+        s = next(b for b in self.buckets if b >= n)
+        for i in range(n):
             self.check_scene_input(
                 patches is not None and patches[i] is not None
             )
         xy = np.zeros((s, p, SEQ_LEN, 2), np.float32)
         mask = np.zeros((s, p), bool)
-        pat = self._zero_patches.copy() if patches is not None else self._zero_patches
+        pat = (self._zero_patches[:s].copy() if patches is not None
+               else self._zero_patches[:s])
         for i, obs in enumerate(scene_obs):
             obs = np.asarray(obs, np.float32)
             if obs.ndim != 3 or obs.shape[-1] != 2 or obs.shape[1] < OBS_LEN:
@@ -243,7 +271,7 @@ class ServingModel:
             mask[i, :n] = True
             if patches is not None and patches[i] is not None:
                 pat[i, :n] = np.asarray(patches[i], np.float32)
-        out = np.asarray(self._call(xy, mask, pat, np.int32(seed)))
+        out = np.asarray(self._calls[s](xy, mask, pat, np.int32(seed)))
         return [out[:, i, : o.shape[0]] for i, o in enumerate(scene_obs)]
 
     def predict(self, obs, patches=None, seed: int = 0):

@@ -70,6 +70,7 @@ class _Handler(BaseHTTPRequestHandler):
             m, b = self.model, self.batcher
             self._send(200, {
                 "scenes": m.scenes, "peds": m.peds, "num": m.num,
+                "scene_buckets": list(m.buckets),
                 "obs_len": 8, "pred_len": 12,
                 "strategy": m.strategy, "source": m.source,
                 # None = unknown (legacy header-less artifact)

@@ -176,6 +176,7 @@ def test_http_server_end_to_end(model):
         ) as r:
             meta = json.loads(r.read())
         assert meta["scenes"] == S and meta["num"] == K
+        assert meta["scene_buckets"] == [S]
         assert meta["requests_served"] >= 4
 
         # malformed request -> 400 with an error body, server stays up
@@ -473,3 +474,84 @@ def test_microbatcher_seed_reproducible(model):
         c = mb.predict(obs, seed=8)
     np.testing.assert_array_equal(a, b)
     assert not np.array_equal(a, c)
+
+
+def zero_patches(peds):
+    return np.zeros((peds, 33, 33, 4), np.float32)
+
+
+def test_bucketed_dispatch_and_equality(predictor):
+    """A bucketed model pads a request only to the smallest bucket that
+    fits (small requests move small tensors) and its output equals a plain
+    model compiled at exactly that bucket size — same program, same padded
+    input, same seed."""
+    bucketed = ServingModel.from_predictor(
+        predictor, "sampling", S, P, K, scene_buckets=(1, 2, S)
+    )
+    assert bucketed.buckets == (1, 2, S)
+
+    # spy on which bucket program each request dispatches
+    dispatched = []
+    real_calls = dict(bucketed._calls)
+
+    def spy(b):
+        def call(xy, mask, pat, seed):
+            dispatched.append(b)
+            assert xy.shape[0] == b
+            return real_calls[b](xy, mask, pat, seed)
+        return call
+
+    bucketed._calls = {b: spy(b) for b in bucketed.buckets}
+
+    obs1, obs2, obs3 = make_obs(2, seed=1), make_obs(3, seed=2), make_obs(1, seed=3)
+    out1 = bucketed.predict(obs1, patches=zero_patches(2), seed=7)
+    out2 = bucketed.predict_batch(
+        [obs2, obs3], [zero_patches(3), zero_patches(1)], seed=9
+    )
+    out3 = bucketed.predict_batch(
+        [obs1, obs2, obs3],
+        [zero_patches(2), zero_patches(3), zero_patches(1)], seed=11,
+    )
+    assert dispatched == [1, 2, S]  # n=1 -> 1, n=2 -> 2, n=3 -> 4
+
+    for n, plain_outs, seed, req in [
+        (1, [out1], 7, [(obs1, zero_patches(2))]),
+        (2, out2, 9, [(obs2, zero_patches(3)), (obs3, zero_patches(1))]),
+    ]:
+        plain = ServingModel.from_predictor(
+            predictor, "sampling", n, P, K
+        )
+        ref = plain.predict_batch(
+            [o for o, _ in req], [p for _, p in req], seed=seed
+        )
+        for a, b in zip(plain_outs, ref):
+            np.testing.assert_array_equal(a, b)
+    assert all(np.isfinite(o).all() for o in out3)
+
+    with pytest.raises(ValueError, match="scenes > compiled batch"):
+        bucketed.predict_batch([obs1] * (S + 1))
+
+
+def test_multibucket_artifact_roundtrip(predictor, tmp_path):
+    """One artifact carries every bucket program; from_artifact loads them
+    all and load_artifact (backwards-compat surface) picks the largest."""
+    from mggan_tpu.cli.export import load_artifact
+
+    exporteds = [
+        export_predictor(predictor, "sampling", s, P, K) for s in (1, S)
+    ]
+    path = tmp_path / "buckets.jaxexport"
+    save_artifact(exporteds, path, {"wants_scene": True, "strategy": "sampling"})
+
+    m = ServingModel.from_artifact(path)
+    assert m.buckets == (1, S) and (m.scenes, m.peds, m.num) == (S, P, K)
+
+    obs = make_obs(2, seed=4)
+    out = m.predict(obs, patches=zero_patches(2), seed=3)
+    live = ServingModel.from_predictor(predictor, "sampling", 1, P, K)
+    ref = live.predict(obs, patches=zero_patches(2), seed=3)
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+
+    largest, meta = load_artifact(path)
+    assert largest.in_avals[0].shape[0] == S
+    assert meta["strategy"] == "sampling"
