@@ -14,6 +14,10 @@ training path that previously had only one-step tests:
                  deviation (PARITY deviation 5).
 * ``sgan``     — pool_type=sgan: PoolHiddenNet pooling end-to-end
                  (reference social_gan.py:157-250; our ops/social.py).
+* ``LS``/``MM``— the remaining gan_obj arms (least-squares MSE / minimax
+                 -BCE(fake), reference abstract_train.py:68-75; our
+                 ops/losses.py), completing convergence coverage of every
+                 gan_obj in {NS, MM, LS, W}.
 
 Each variant trains BOTH frameworks on the identical generated dataset and
 identical hyperparameters, evaluates with each framework's own eval stack,
@@ -45,6 +49,11 @@ VARIANTS = {
     "infogan": {"extra": ["gan_type=infogan"], "args": ["--num_gens", "1"]},
     "augment": {"extra": ["augment=1"]},
     "sgan": {"extra": ["pool_type=sgan"]},
+    # the remaining gan_obj arms (reference abstract_train.py:61-85): least
+    # squares and the minimax/hinge objective — with these the convergence
+    # matrix covers every gan_obj in {NS (base runs), MM, LS, W}
+    "LS": {"extra": ["gan_obj=LS"]},
+    "MM": {"extra": ["gan_obj=MM"]},
 }
 
 
