@@ -69,6 +69,10 @@ def main():
     ap.add_argument("--val_every", type=int, default=10)
     ap.add_argument("--variants", nargs="+", default=list(VARIANTS))
     ap.add_argument("--skip_reference", action="store_true")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="training seed for both frameworks; seed!=0 "
+                         "writes results/<variant>_s<seed>/ so mixed "
+                         "single-seed cells gain seed-variance evidence")
     args = ap.parse_args()
 
     data = Path(args.data)
@@ -77,12 +81,14 @@ def main():
 
     for name in args.variants:
         spec = VARIANTS[name]
-        out = data / f"variant_{name}"
-        res_dir = HERE / "results" / name
+        tag = name if args.seed == 0 else f"{name}_s{args.seed}"
+        out = data / f"variant_{tag}"
+        res_dir = HERE / "results" / tag
         res_dir.mkdir(parents=True, exist_ok=True)
         common = [
             "--data", data, "--epochs", args.epochs,
-            "--val_every", args.val_every, *spec.get("args", []),
+            "--val_every", args.val_every, "--seed", args.seed,
+            *spec.get("args", []),
             "--extra", *spec["extra"],
         ]
         if not args.skip_reference:
@@ -93,7 +99,7 @@ def main():
         run([sys.executable, HERE / "compare.py", "--results",
              out / "ref" / "results.json", out / "ours" / "results.json",
              "--out", res_dir / "summary.json"])
-        print(f"=== variant {name} done ===", flush=True)
+        print(f"=== variant {tag} done ===", flush=True)
 
     print(json.dumps({"variants_done": args.variants}))
 
