@@ -74,10 +74,13 @@ def main():
     train_s = time.time() - t0
     print(f"mggan_tpu training: {train_s:.1f}s for {args.epochs} epochs")
 
-    # locate the version dir the writer created
+    # locate the version dir the writer created: version ids are random
+    # (test_tube semantics), so lexicographic order is meaningless — pick
+    # the newest by mtime (the run that just finished)
     experiment = extra.get("experiment", "multi_generator")
     exp_dir = out_dir / "logs" / experiment / "convergence_ours"
-    version_dirs = sorted(exp_dir.glob("version_*"))
+    version_dirs = sorted(exp_dir.glob("version_*"),
+                          key=lambda p: p.stat().st_mtime)
     assert version_dirs, f"no version dir under {exp_dir}"
     version_dir = version_dirs[-1]
 

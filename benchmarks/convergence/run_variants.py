@@ -18,6 +18,11 @@ training path that previously had only one-step tests:
                  -BCE(fake), reference abstract_train.py:68-75; our
                  ops/losses.py), completing convergence coverage of every
                  gan_obj in {NS, MM, LS, W}.
+* ``wt_l2``/``wt_endpoint``/``wt_mgan`` — the remaining implemented
+                 weighting_target arms for the PM-net (reference
+                 train.py:602-650; base runs pin ml).
+* ``gan``      — gan_type=gan: vanilla D without branch heads, completing
+                 the trainable gan_type set {mgan, infogan, gan}.
 
 Each variant trains BOTH frameworks on the identical generated dataset and
 identical hyperparameters, evaluates with each framework's own eval stack,
@@ -54,6 +59,21 @@ VARIANTS = {
     # matrix covers every gan_obj in {NS (base runs), MM, LS, W}
     "LS": {"extra": ["gan_obj=LS"]},
     "MM": {"extra": ["gan_obj=MM"]},
+    # weighting_target arms for the PM-net training signal (reference
+    # train.py:602-650): the base runs pin ml (Bayes posterior); these
+    # cover the remaining implemented targets — l2 (CE vs argmin per-gen
+    # mean L2), endpoint (argmin FDE), mgan (CE vs softmax of the D
+    # gen-id branch on GT + decayed entropy reg). disc_scores is
+    # NotImplementedError in BOTH frameworks (reference train.py:602,
+    # our steps.py) and probgan is excluded by the reference's own
+    # trainable-set assert (train.py:21).
+    "wt_l2": {"extra": ["weighting_target=l2"]},
+    "wt_endpoint": {"extra": ["weighting_target=endpoint"]},
+    "wt_mgan": {"extra": ["weighting_target=mgan"]},
+    # vanilla gan_type=gan: D without branch heads, no classifier loss
+    # (reference discriminators.py:198-209 plain path) — completes the
+    # trainable gan_type set {mgan (base), infogan, gan}
+    "gan": {"extra": ["gan_type=gan"]},
 }
 
 
