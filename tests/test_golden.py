@@ -59,14 +59,25 @@ def _fixed_batch(s=4, p=3, seed=11):
 
 
 @pytest.mark.parametrize(
-    "gan_type,wt",
-    [("mgan", "ml"), ("gan", "l2"), ("infogan", "none")],
+    "gan_type,wt,gan_obj",
+    [
+        ("mgan", "ml", "NS"),
+        ("gan", "l2", "NS"),
+        ("infogan", "none", "NS"),
+        # the two numerically-hairiest paths (VERDICT r4 next #8): W's
+        # gradient penalty differentiates THROUGH d(D)/d(input) (grads of
+        # grads across the scan decoder, reference utils.py:42-67), and
+        # probgan injects SGHMC noise-loss terms into D and G plus the
+        # Polyak discs_hist update (reference discriminators.py:246-263)
+        ("mgan", "ml", "W"),
+        ("probgan", "ml", "NS"),
+    ],
 )
-def test_golden_train_step(gan_type, wt):
+def test_golden_train_step(gan_type, wt, gan_obj):
     cfg = Config(
         dataset="synthetic_memory", batch_size=4, num_gens=2, epochs=2,
         num_samples=3, num_expectation_samples=2, h_dim=16, decoder_h_dim=16,
-        noise_dim=8, gan_type=gan_type, weighting_target=wt,
+        noise_dim=8, gan_type=gan_type, weighting_target=wt, gan_obj=gan_obj,
     )
     key = jax.random.PRNGKey(0)
     g_pack, d_pack = factory.construct_model(cfg, key)
@@ -81,7 +92,8 @@ def test_golden_train_step(gan_type, wt):
     got["gsum/d_params"] = float(
         sum(jnp.abs(x).sum() for x in jax.tree.leaves(state.d_params))
     )
-    _check_or_create(f"train_step_{gan_type}_{wt}_v1.json", got)
+    tag = f"{gan_type}_{wt}" + ("" if gan_obj == "NS" else f"_{gan_obj}")
+    _check_or_create(f"train_step_{tag}_v1.json", got)
 
 
 def test_golden_eval_metrics():
