@@ -1,6 +1,12 @@
 """Benchmark: flagship model on the real TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
+The LAST stdout line is ONE compact JSON line
+{"metric", "value", "unit", "vs_baseline", "extra"} kept under
+SUMMARY_LINE_MAX chars so the driver's tail capture can always parse it
+(round-4 lesson: the full extras outgrew the capture window and the round's
+headline number was lost — VERDICT r4 weak #1). The complete extras are
+written to benchmarks/bench_full.json (committed) and referenced from the
+summary's ``extra.full_results``.
 
 * headline metric: k=20 multi-generator sampling throughput vs the 100k
   traj/s build target (BASELINE.md north star; the reference never measured
@@ -28,6 +34,71 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 S_TRAIN, P, K = 256, 16, 20  # 4096 agents/step, flagship shapes
 S_SAMPLE = 4096
+
+# Hard cap on the final stdout line: the driver tails ~2000 chars of stdout;
+# stay well under it so the headline JSON survives any prefix noise.
+SUMMARY_LINE_MAX = 1500
+
+# extra.<key> whitelist for the summary line — the hand-picked headline
+# dozen (VERDICT r4 next #1). Dotted paths index into nested dicts.
+SUMMARY_KEYS = (
+    "sampling_bf16_traj_per_sec",
+    "train_step_ms_4096_agents",
+    "train_agents_per_sec",
+    "train_mfu_pct",
+    "train_compile_s",
+    "cold_start_cached_s",
+    "decode_mfu_pct",
+    "cnn_bf16_mfu_pct",
+    "train_speedup_vs_ref_torch_cpu",
+    "pipeline_bank_agents_per_sec",
+    "train_roofline.dispatch_ms",
+    "train_roofline.sol_x_dispatch_corrected",
+    "stages.decode.sol_x",
+    "serving.live.load_latency_ms_p50",
+    "serving.bucketed.latency_ms_p50",
+    "serving.mixed.latency_ms_p50",
+    "serving.mixed.latency_ms_p99",
+    "serving.mixed.scenes_per_sec",
+)
+
+
+def _pluck(extra, dotted):
+    cur = extra
+    for part in dotted.split("."):
+        if not isinstance(cur, dict) or part not in cur:
+            return None
+        cur = cur[part]
+    return cur
+
+
+def summary_line(value, extra, metric="k20_sampling_throughput",
+                 unit="traj/s", baseline=100_000.0):
+    """Build the driver-facing LAST stdout line: compact JSON with the
+    headline metric plus the SUMMARY_KEYS whitelist, guaranteed under
+    SUMMARY_LINE_MAX chars (tested by tests/test_bench_contract.py)."""
+    compact = {"full_results": "benchmarks/bench_full.json"}
+    for key in SUMMARY_KEYS:
+        v = _pluck(extra, key)
+        if v is not None:
+            compact[key.replace(".", "_")] = (
+                round(v, 3) if isinstance(v, float) else v
+            )
+    line = json.dumps(
+        {
+            "metric": metric,
+            "value": round(value, 1),
+            "unit": unit,
+            "vs_baseline": round(value / baseline, 3),
+            "extra": compact,
+        },
+        separators=(",", ":"),
+    )
+    assert len(line) <= SUMMARY_LINE_MAX, (
+        f"summary line {len(line)} chars > {SUMMARY_LINE_MAX}: the driver "
+        f"tail capture would truncate it — trim SUMMARY_KEYS"
+    )
+    return line
 
 
 def _flagship_config(**kw):
@@ -280,7 +351,7 @@ def bench_train_step_guarded(timeout_s=1200, cache_dir=None, n_iters=30):
     return None, None, None, None
 
 
-def bench_serving_guarded(timeout_s=900):
+def bench_serving_guarded(timeout_s=1500):
     """Serving p50/p99 + scenes/s under concurrent micro-batched load,
     artifact vs live (benchmarks/serving_bench.py), in a bounded
     subprocess so a slow AOT export can't kill the benchmark."""
@@ -420,17 +491,24 @@ def main():
         )
         extra["ref_caveat"] = ref.get("caveat", "")
 
-    print(
-        json.dumps(
-            {
-                "metric": "k20_sampling_throughput",
-                "value": round(traj_per_sec, 1),
-                "unit": "traj/s",
-                "vs_baseline": round(traj_per_sec / 100_000.0, 3),
-                "extra": extra,
-            }
-        )
+    full = {
+        "metric": "k20_sampling_throughput",
+        "value": round(traj_per_sec, 1),
+        "unit": "traj/s",
+        "vs_baseline": round(traj_per_sec / 100_000.0, 3),
+        "extra": extra,
+    }
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "benchmarks", "bench_full.json",
     )
+    with open(full_path, "w") as f:
+        json.dump(full, f, indent=2)
+        f.write("\n")
+    print("full extras written to", full_path)
+    # the LAST stdout line is the compact driver contract — nothing may
+    # print after this
+    print(summary_line(traj_per_sec, extra))
 
 
 if __name__ == "__main__":

@@ -24,6 +24,15 @@ compiled at {1, scenes} buckets, single-scene latency re-measured — a
 max-batch patch bytes over the interconnect (the dominant single-request
 cost through the tunnel).
 
+Plus the MIXED low/bursty-QPS regime the buckets were built for (VERDICT
+r4 #4): an open-loop Poisson-arrival client fires bursts of 1-4
+single-scene requests at a multi-bucket model behind one MicroBatcher.
+With the bucket-aware early dispatch (serving/runtime.py::_drain) each
+burst should coalesce into the smallest covering bucket and return at
+small-bucket latency instead of padding to the max batch — reported as
+per-burst p50/p99 latency, scenes/s, realized occupancy, and the
+early-dispatch share.
+
 Usage: python benchmarks/serving_bench.py [--scenes 64] [--threads 32]
 Prints one JSON line.
 """
@@ -91,6 +100,65 @@ def bench_model(model, obs, patches, args):
     }
 
 
+def bench_mixed(model, obs, patches, args):
+    """Open-loop Poisson bursts of 1-4 single-scene requests against one
+    MicroBatcher over a multi-bucket model. Arrivals are independent of
+    completions (a submitter thread only sleeps + submits; waiters run in a
+    pool), so a slow device shows up as latency, not as reduced offered
+    load. Per-burst latency = last future of the burst done."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    rng = np.random.RandomState(42)
+    n_bursts = args.mixed_requests
+    burst_sizes = 1 + rng.randint(0, 4, size=n_bursts)
+    gaps = rng.exponential(1.0 / args.mixed_qps, size=n_bursts)
+
+    # warm every bucket program outside the timed window
+    for b in model.buckets:
+        model.predict_batch([obs] * min(b, 4), [patches] * min(b, 4), seed=0)
+
+    lat = []
+    lat_lock = __import__("threading").Lock()
+
+    def wait_burst(futs, t0):
+        for f in futs:
+            f.result(timeout=600.0)
+        with lat_lock:
+            lat.append(time.perf_counter() - t0)
+
+    with MicroBatcher(model, max_wait_ms=5.0) as mb:
+        with ThreadPoolExecutor(max_workers=64) as pool:
+            t_start = time.perf_counter()
+            waiters = []
+            for i in range(n_bursts):
+                time.sleep(gaps[i])
+                t0 = time.perf_counter()
+                futs = [
+                    mb.submit(obs, patches=patches, seed=i * 7 + j)
+                    for j in range(burst_sizes[i])
+                ]
+                waiters.append(pool.submit(wait_burst, futs, t0))
+            for w in waiters:
+                w.result()
+            wall = time.perf_counter() - t_start
+        occupancy = mb.requests_served / max(mb.batches_run, 1)
+        early_share = mb.early_dispatches / max(mb.batches_run, 1)
+
+    lat_ms = np.asarray(lat) * 1e3
+    total_scenes = int(burst_sizes.sum())
+    return {
+        "buckets": list(model.buckets),
+        "offered_qps_bursts": args.mixed_qps,
+        "bursts": n_bursts,
+        "scenes_total": total_scenes,
+        "latency_ms_p50": round(float(np.percentile(lat_ms, 50)), 2),
+        "latency_ms_p99": round(float(np.percentile(lat_ms, 99)), 2),
+        "scenes_per_sec": round(total_scenes / wall, 1),
+        "mean_batch_occupancy": round(occupancy, 2),
+        "early_dispatch_share": round(early_share, 2),
+    }
+
+
 def main():
     global MicroBatcher
     ap = argparse.ArgumentParser()
@@ -106,6 +174,13 @@ def main():
                          "bucketed section re-measures single-scene "
                          "latency with programs at {buckets..., scenes}")
     ap.add_argument("--skip_buckets", action="store_true")
+    ap.add_argument("--mixed_requests", type=int, default=80,
+                    help="number of Poisson bursts in the mixed regime")
+    ap.add_argument("--mixed_qps", type=float, default=2.0,
+                    help="offered burst arrival rate (bursts/s)")
+    ap.add_argument("--mixed_buckets", default="1,2,4",
+                    help="extra scene-count buckets for the mixed model")
+    ap.add_argument("--skip_mixed", action="store_true")
     args = ap.parse_args()
 
     import tempfile
@@ -163,6 +238,16 @@ def main():
             "latency_ms_p50": round(float(np.percentile(lat_ms, 50)), 2),
             "latency_ms_p95": round(float(np.percentile(lat_ms, 95)), 2),
         }
+
+    if not args.skip_mixed:
+        mixed_buckets = tuple(sorted(
+            {int(b) for b in args.mixed_buckets.split(",")} | {args.scenes}
+        ))
+        mixed_model = ServingModel.from_predictor(
+            predictor, "sampling", args.scenes, args.peds, args.num,
+            scene_buckets=mixed_buckets,
+        )
+        out["mixed"] = bench_mixed(mixed_model, obs, patches, args)
 
     if not args.skip_artifact:
         exported = export_predictor(

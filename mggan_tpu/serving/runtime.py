@@ -296,7 +296,16 @@ class MicroBatcher:
 
     Requests (one scene each) queue up; a worker thread drains up to
     ``model.scenes`` of them — waiting at most ``max_wait_ms`` after the
-    first — and issues ONE device call. The device takes a single scalar
+    first — and issues ONE device call. Draining is BUCKET-AWARE: whenever
+    the queue is empty and the batch collected so far exactly fills one of
+    the model's compiled scene-count buckets, the batch dispatches
+    immediately instead of waiting out ``max_wait_ms`` toward the largest
+    batch — under low or bursty load a lone request gets the small-bucket
+    program's latency (the regime buckets exist for), while a backed-up
+    queue still grows batches to the next bucket without any extra wait
+    (``queue.get`` on a non-empty queue returns instantly). A single-bucket
+    model behaves exactly as before. ``early_dispatches`` counts
+    bucket-boundary dispatches for observability. The device takes a single scalar
     seed per batch; it is derived by folding EVERY request's seed in queue
     order, and scene noise is drawn per batch slot. Guarantees (and their
     limits): requests CO-BATCHED with distinct seeds (or in distinct batch
@@ -316,6 +325,7 @@ class MicroBatcher:
         self._closed = False
         self.batches_run = 0
         self.requests_served = 0
+        self.early_dispatches = 0
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
@@ -345,8 +355,16 @@ class MicroBatcher:
         if first is None:
             return []
         batch = [first]
+        buckets = self.model.buckets
         deadline = time.monotonic() + self.max_wait
         while len(batch) < self.model.scenes:
+            # bucket-aware early dispatch (VERDICT r4 #4): with nothing
+            # queued and the batch exactly filling a compiled bucket,
+            # waiting longer can only add latency — the next request would
+            # force the next-larger program anyway
+            if len(batch) in buckets and self._q.empty():
+                self.early_dispatches += 1
+                break
             remaining = deadline - time.monotonic()
             if remaining <= 0:
                 break

@@ -532,6 +532,73 @@ def test_bucketed_dispatch_and_equality(predictor):
         bucketed.predict_batch([obs1] * (S + 1))
 
 
+def test_microbatcher_bucket_early_dispatch_equality(predictor):
+    """A lone request against a bucketed model must dispatch as soon as it
+    fills the 1-scene bucket — NOT wait out max_wait toward the max batch —
+    and the early-dispatched result must equal the direct small-bucket call
+    with the worker's folded seed (serving/runtime.py::_run)."""
+    import time as _time
+
+    bucketed = ServingModel.from_predictor(
+        predictor, "sampling", S, P, K, scene_buckets=(1, 2, S)
+    )
+    obs = make_obs(2, seed=6)
+    pat = zero_patches(2)
+    bucketed.predict(obs, patches=pat)  # compile outside the timed window
+
+    with MicroBatcher(bucketed, max_wait_ms=10_000.0) as mb:
+        t0 = _time.monotonic()
+        out = mb.predict(obs, patches=pat, seed=7, timeout=60.0)
+        dt = _time.monotonic() - t0
+        assert mb.early_dispatches == 1
+    # far below the 10 s max_wait the old drain would have slept
+    assert dt < 5.0
+    # the worker folds each request seed: one request of seed 7 -> 8
+    direct = bucketed.predict(obs, patches=pat, seed=8)
+    np.testing.assert_array_equal(out, direct)
+
+
+def test_microbatcher_bucket_growth_under_backlog():
+    """With a backlog queued, draining grows past the small bucket without
+    waiting (non-empty queue pops instantly); with the queue empty it stops
+    at the bucket boundary. Deterministic via a blockable fake model."""
+    import threading as _threading
+
+    release = _threading.Event()
+    sizes = []
+
+    def make_call(b):
+        def call(xy, mask, pat, seed):
+            sizes.append(b)
+            release.wait(timeout=30.0)
+            return np.zeros((K, b, P, 12, 2), np.float32)
+        return call
+
+    fake = ServingModel(
+        {b: make_call(b) for b in (1, 2, 4)}, 4, P, K, wants_scene=False
+    )
+    obs = make_obs(1, seed=0)
+    with MicroBatcher(fake, max_wait_ms=10_000.0) as mb:
+        f0 = mb.submit(obs)  # worker takes it and blocks inside the call
+        while not sizes:  # wait until the worker is inside call #1
+            _time_sleep(0.005)
+        f1, f2 = mb.submit(obs), mb.submit(obs)  # backlog while blocked
+        release.set()
+        for f in (f0, f1, f2):
+            f.result(timeout=30.0)
+        # batch 1: the lone first request (bucket 1, early);
+        # batch 2: both backlogged requests drained instantly (bucket 2,
+        # early at the boundary instead of growing toward 4)
+        assert sizes == [1, 2]
+        assert mb.early_dispatches == 2
+
+
+def _time_sleep(s):
+    import time as _t
+
+    _t.sleep(s)
+
+
 def test_multibucket_artifact_roundtrip(predictor, tmp_path):
     """One artifact carries every bucket program; from_artifact loads them
     all and load_artifact (backwards-compat surface) picks the largest."""
