@@ -55,6 +55,7 @@ SUMMARY_KEYS = (
     "train_roofline.dispatch_ms",
     "train_roofline.sol_x_dispatch_corrected",
     "stages.decode.sol_x",
+    "stages.decode.sol_x_dispatch_corrected",
     "serving.live.load_latency_ms_p50",
     "serving.bucketed.latency_ms_p50",
     "serving.mixed.latency_ms_p50",
@@ -412,12 +413,32 @@ def bench_host_pipeline():
     return rates
 
 
+def _load_committed_json(name):
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "benchmarks", name)
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                return json.load(f)
+        except json.JSONDecodeError:
+            pass
+    return None
+
+
 def main():
     import jax.numpy as jnp
 
     traj_per_sec = bench_sampling()
     traj_per_sec_bf16 = bench_sampling(compute_dtype=jnp.bfloat16)
     stages = bench_stages()
+    # decode dispatch-corrected headroom from the committed closure run
+    # (benchmarks/decode_roofline.py — VERDICT r4 #3)
+    dr = _load_committed_json("decode_roofline.json")
+    if dr and "select" in dr:
+        d = stages["decode"]
+        d["dispatch_ms"] = dr["select"]["dispatch_ms"]
+        d["sol_x_dispatch_corrected"] = round(
+            max(d["ms"] - d["dispatch_ms"], 0.0) / d["sol_ms"], 1)
     # First cold process populates the persistent compilation cache; a
     # second cold process re-lowering the identical program measures the
     # cached cold-start (VERDICT r3 #6 — works through axon, BASELINE.md).
@@ -474,6 +495,17 @@ def main():
                 **roofline.stage_report(tf["executed"], resid, step_s),
             }
             extra["train_mfu_pct"] = extra["train_roofline"]["mfu_pct"]
+            # dispatch-corrected headroom: the fixed per-step tunnel cost
+            # measured by benchmarks/train_dispatch_floor.py (committed
+            # JSON; a property of the dispatch path, stable across runs)
+            # subtracted from the LIVE step time before comparing to SoL
+            floor = _load_committed_json("train_dispatch_floor.json")
+            if floor and floor.get("dispatch_ms") is not None:
+                tr = extra["train_roofline"]
+                tr["dispatch_ms"] = floor["dispatch_ms"]
+                tr["sol_x_dispatch_corrected"] = round(
+                    max(step_s - floor["dispatch_ms"] / 1e3, 0.0)
+                    / (tr["sol_ms"] / 1e3), 1)
     else:
         agents_per_sec = None
         extra["train_bench"] = "timed out (remote compile service)"

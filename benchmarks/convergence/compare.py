@@ -45,9 +45,11 @@ def main():
             runs.append(json.loads(Path(p).read_text()))
         else:
             print(f"(skipping missing {p})")
-    assert len(runs) >= 2, "need at least two results files"
+    assert runs, "need at least one results file"
 
-    base, second = runs[0], runs[1]
+    # single-run mode (ours-only arms, e.g. probgan — the reference
+    # asserts it out of its trainable set): one column, no delta
+    base, second = runs[0], runs[1] if len(runs) > 1 else runs[0]
     strip = lambda c: {k: v for k, v in c.items() if k != "seed"}
     assert strip(base["config"]) == strip(second["config"]), (
         f"hyperparameters differ: {base['config']} vs {second['config']}"
@@ -72,12 +74,15 @@ def main():
         rows = {}
         for k in keys:
             vals = [t.get(k) for t in tables]
-            rv, ov = vals[0], vals[1]
-            delta = (ov - rv) / rv if rv else float("nan")
             cells = " | ".join("—" if v is None else f"{v:.4f}" for v in vals)
-            print(f"| {k} | {cells} | {delta:+.1%} |")
             rows[k] = {n: v for n, v in zip(names, vals)}
-            rows[k]["rel_delta"] = delta
+            if len(runs) > 1:
+                rv, ov = vals[0], vals[1]
+                delta = (ov - rv) / rv if rv else float("nan")
+                print(f"| {k} | {cells} | {delta:+.1%} |")
+                rows[k]["rel_delta"] = delta
+            else:
+                print(f"| {k} | {cells} | — |")
         summary["strategies"][strat] = rows
 
     print("\ntrain wall: " + ", ".join(

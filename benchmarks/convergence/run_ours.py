@@ -69,7 +69,10 @@ def main():
             "--name", "convergence_ours",
             "--log_dir", str(out_dir / "logs"),
         ]
-        + [t for k, v in extra.items() for t in (f"--{k}", v)]
+        # "key=" (empty value) means a value-less store_true flag
+        # (e.g. --unconditional on both argparsers)
+        + [t for k, v in extra.items()
+           for t in ((f"--{k}", v) if v != "" else (f"--{k}",))]
     )
     train_s = time.time() - t0
     print(f"mggan_tpu training: {train_s:.1f}s for {args.epochs} epochs")

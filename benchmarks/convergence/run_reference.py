@@ -165,7 +165,10 @@ def main():
             "--save_every", str(max(args.epochs, 1)),
             "--name", "convergence_ref",
         ]
-        + [t for k, v in extra.items() for t in (f"--{k}", v)]
+        # "key=" (empty value) means a value-less store_true flag
+        # (e.g. --unconditional on both argparsers)
+        + [t for k, v in extra.items()
+           for t in ((f"--{k}", v) if v != "" else (f"--{k}",))]
     )
 
     torch.manual_seed(args.seed)

@@ -74,6 +74,31 @@ VARIANTS = {
     # (reference discriminators.py:198-209 plain path) — completes the
     # trainable gan_type set {mgan (base), infogan, gan}
     "gan": {"extra": ["gan_type=gan"]},
+    # --- round-5 arms (VERDICT r4 next #5/#6) ---------------------------
+    # remaining l2_loss_type cells with one-step parity but no convergence
+    # arm (reference train.py:58-75: mse = per-sample MSE over ALL samples,
+    # min_z = min over noise draws without the per-scene min)
+    "l2_mse": {"extra": ["l2_loss_type=mse"]},
+    "l2_min_z": {"extra": ["l2_loss_type=min_z"]},
+    # --unconditional: PM-net off (use_pinet rule model_factory.py:36),
+    # store_true on BOTH argparsers -> value-less extra
+    "uncond": {"extra": ["unconditional="]},
+    # unrolled GAN: D trains against its own lookahead copy
+    # (abstract_train.py:136-162 backup/restore dance; our functional
+    # D-param snapshot)
+    "unroll": {"extra": ["num_unrolling_steps=1"]},
+    # probgan (VERDICT r4 #5): OURS-ONLY — the reference asserts probgan
+    # out of its trainable set (train.py:21), so this row substantiates
+    # stability + sane metrics, not a comparison. 150 epochs like the base
+    # runs; plus the SGHMC noise-term ablation (lambda = 0) for the
+    # BASELINE note on its effect (reference utils.py:10-31 noise_loss,
+    # config.py:100-117 lambdas).
+    "probgan": {"extra": ["gan_type=probgan"], "ours_only": True,
+                "epochs": 150},
+    "probgan_nonoise": {
+        "extra": ["gan_type=probgan", "g_noise_loss_lambda=0",
+                  "d_noise_loss_lambda=0"],
+        "ours_only": True, "epochs": 150},
 }
 
 
@@ -105,19 +130,25 @@ def main():
         out = data / f"variant_{tag}"
         res_dir = HERE / "results" / tag
         res_dir.mkdir(parents=True, exist_ok=True)
+        ours_only = args.skip_reference or spec.get("ours_only", False)
+        # an explicitly-passed --epochs beats the per-variant default
+        epochs = (args.epochs if args.epochs != ap.get_default("epochs")
+                  else spec.get("epochs", args.epochs))
         common = [
-            "--data", data, "--epochs", args.epochs,
+            "--data", data, "--epochs", epochs,
             "--val_every", args.val_every, "--seed", args.seed,
             *spec.get("args", []),
             "--extra", *spec["extra"],
         ]
-        if not args.skip_reference:
+        if not ours_only:
             run([sys.executable, HERE / "run_reference.py",
                  "--out", out / "ref", *common])
         run([sys.executable, HERE / "run_ours.py",
              "--out", out / "ours", *common])
-        run([sys.executable, HERE / "compare.py", "--results",
-             out / "ref" / "results.json", out / "ours" / "results.json",
+        results = ([] if ours_only else [out / "ref" / "results.json"]) + [
+            out / "ours" / "results.json"
+        ]
+        run([sys.executable, HERE / "compare.py", "--results", *results,
              "--out", res_dir / "summary.json"])
         print(f"=== variant {tag} done ===", flush=True)
 
