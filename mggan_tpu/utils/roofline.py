@@ -37,6 +37,15 @@ from __future__ import annotations
 V5E_PEAK_FLOPS = 197e12  # bf16 MXU peak, FLOP/s
 V5E_HBM_BPS = 819e9      # HBM bandwidth, bytes/s
 
+# VPU (elementwise) peaks: 8x128 lanes, ~4 ALUs, ~0.94 GHz -> ~3.9 T
+# element-ops/s for simple ops. Transcendentals (sigmoid/tanh exp
+# microcode) issue at ~1 eval/cycle/lane on one port -> ~0.96 T evals/s;
+# this figure is cross-validated by measurement: the r3 linear-stand-in
+# ablation (benchmarks/decode_ablation.py) removed 10.6 ms of kernel time
+# for 10.05 G transcendental evals = 0.95 T evals/s (BASELINE.md).
+V5E_VPU_OPS = 3.85e12
+V5E_VPU_TRANSC = 0.96e12
+
 
 def stage_report(flops_executed, min_bytes, seconds, flops_useful=None):
     """Roofline summary for one measured stage.
@@ -109,6 +118,30 @@ def decoder_flops(g, h, in_dim, soc_f, rows, pred_len, select=True,
         + weights
     )
     return {"executed": executed, "useful": useful, "min_bytes": min_bytes}
+
+
+def decoder_vpu_ops(g, h, rows, pred_len):
+    """Analytic VPU elementwise-op count of the fused decode kernel body
+    (ops/pallas/decoder.py::_fwd_select_kernel), per the MXU roofline's
+    blind spot: every per-step vector op on the (rows, 4*G*H) gate stream.
+
+    Per row per step, with gh = G*H, ghid = G*(H//2):
+
+        adds into gates (+whh dot acc, +b)        2 * 4*gh
+        c = f*c + i*gg; h = o*tanh(c) muls        4 * gh
+        hid += socb; leaky-relu where             3 * ghid
+        nd + b2; xy += nd; oh2 muls + reduce      ~8 * 2*g
+        transcendentals: 3 sigmoid + 2 tanh       5 * gh   (separate pool)
+
+    Returns {"elementwise", "transcendental"} total op counts; time floors
+    are elementwise / V5E_VPU_OPS and transcendental / V5E_VPU_TRANSC
+    (different issue ports — the floors add at worst, overlap at best).
+    """
+    gh = g * h
+    ghid = g * (h // 2)
+    elem = rows * pred_len * (2 * 4 * gh + 4 * gh + 3 * ghid + 16 * g)
+    transc = rows * pred_len * 5 * gh
+    return {"elementwise": elem, "transcendental": transc}
 
 
 def scene_cnn_flops(batch, channels=16, in_ch=4, dtype_bytes=4):
