@@ -103,7 +103,15 @@ def main():
             est[f"{s}_vs_{2*s}"] = round(
                 (2 * times[s] - times[2 * s]) * 1e3, 2)
     out["dispatch_ms_estimates"] = est
+    # Negative estimates mean t(2S) > 2*t(S): the step scales (mildly)
+    # SUPER-linearly, i.e. there is NO fixed dispatch floor to subtract —
+    # back-to-back stepping pipelines the per-dispatch latency away (the
+    # ~8 ms floor r3 measured applies to isolated single-program calls,
+    # not steady-state throughput). Clamp at 0: correcting with a negative
+    # floor would be subtracting convexity, not dispatch.
     disp_ms = float(np.median(list(est.values()))) if est else 0.0
+    out["dispatch_ms_raw_median"] = round(disp_ms, 2)
+    disp_ms = max(disp_ms, 0.0)
     out["dispatch_ms"] = round(disp_ms, 2)
 
     # dispatch-corrected sol_x at the flagship S=256 (BENCH headline row):
