@@ -99,6 +99,12 @@ VARIANTS = {
         "extra": ["gan_type=probgan", "g_noise_loss_lambda=0",
                   "d_noise_loss_lambda=0"],
         "ours_only": True, "epochs": 150},
+    # A/B isolation of PARITY deviation 5 (bilinear vs the reference's
+    # PIL-nearest patch resample) on the augment cell: ours-only arm with
+    # --patch_interp nearest; compare against results/augment*'s ours
+    # column (same seed) and the reference column.
+    "augment_nearest": {
+        "extra": ["augment=1", "patch_interp=nearest"], "ours_only": True},
 }
 
 

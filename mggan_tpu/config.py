@@ -117,6 +117,11 @@ class Config:
     # Fused Pallas rollout kernels (ops/pallas/decoder.py: fwd, bwd, and
     # fused-selection variants); effective on TPU backends, single chip.
     pallas_decoder: int = 1
+    # Augmented-patch resampling: "bilinear" (deviation 5: one MXU
+    # contraction on device) or "nearest" (the reference's PIL rotate
+    # resample mode, kept for A/B isolation of the deviation —
+    # benchmarks/convergence augment_nearest arm).
+    patch_interp: str = "bilinear"
     # Persistent XLA compilation-cache directory: repeat CLI runs (sweeps,
     # evaluate-after-train) deserialize compiled executables instead of
     # recompiling (a warm train-step compile is 41-56 s through the
@@ -124,6 +129,7 @@ class Config:
     compilation_cache_dir: str = ""
 
     def __post_init__(self):
+        assert self.patch_interp in ("bilinear", "nearest")
         assert self.inp_format in INP_FORMATS
         assert self.gan_type in GAN_TYPES
         assert self.gan_obj in GAN_OBJECTIVES
@@ -222,6 +228,8 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile_dir", type=str, default=d.profile_dir)
     p.add_argument("--patch_bank", type=int, default=d.patch_bank)
     p.add_argument("--pallas_decoder", type=int, default=d.pallas_decoder)
+    p.add_argument("--patch_interp", type=str,
+                   choices=["bilinear", "nearest"], default=d.patch_interp)
     p.add_argument("--compilation_cache_dir", type=str, default=d.compilation_cache_dir)
     # Launch-time pod topology (parallel/pod.py) — runtime flags, not model
     # config: Config.from_dict drops them so they never persist.

@@ -92,7 +92,7 @@ def _sample_patch(big, flip, alpha):
     return jnp.stack([sample(big[..., c]) for c in range(3)], axis=-1)
 
 
-def finish_patches(big_patches, flip, alpha):
+def finish_patches(big_patches, flip, alpha, interp="bilinear"):
     """uint8 (S,P,49,49,3) -> model patches (S,P,33,33,4) float32.
 
     Applies flip/rotation per scene, normalises to [-1, 1)
@@ -124,8 +124,21 @@ def finish_patches(big_patches, flip, alpha):
     sy = BIG_MARGIN + qy  # (S, O) source rows
 
     grid = jnp.arange(2 * BIG_MARGIN + 1, dtype=jnp.float32)
-    wx = jnp.maximum(0.0, 1.0 - jnp.abs(sx[:, :, None] - grid[None, None]))
-    wy = jnp.maximum(0.0, 1.0 - jnp.abs(sy[:, :, None] - grid[None, None]))
+    if interp == "nearest":
+        # PIL-rotate-NEAREST semantics (the reference's resample mode,
+        # PARITY deviation 5): each output pixel takes the single source
+        # pixel nearest to its inverse-transformed coordinate — same
+        # contraction with one-hot tap weights
+        wx = (jnp.round(sx)[:, :, None] == grid[None, None]).astype(
+            jnp.float32)
+        wy = (jnp.round(sy)[:, :, None] == grid[None, None]).astype(
+            jnp.float32)
+    else:
+        assert interp == "bilinear", interp
+        wx = jnp.maximum(
+            0.0, 1.0 - jnp.abs(sx[:, :, None] - grid[None, None]))
+        wy = jnp.maximum(
+            0.0, 1.0 - jnp.abs(sy[:, :, None] - grid[None, None]))
 
     big = big_patches.astype(jnp.float32)
 
@@ -174,11 +187,13 @@ def identity_patches(big_patches):
     return jnp.concatenate([rgb, pos], axis=-1)
 
 
-def augment_batch(rng, batch, train: bool):
+def augment_batch(rng, batch, train: bool, interp="bilinear"):
     """Produce augmented trajectories + finished model patches for a batch.
 
     batch keys: xy (S,P,20,2), big_patches (S,P,49,49,3) uint8 or absent,
     wh_m (S,2).  Identity transform when ``train`` is False.
+    ``interp``: patch resampling — "bilinear" (default; deviation 5) or
+    "nearest" (the reference's PIL resample mode, for A/B isolation).
     """
     s = batch["xy"].shape[0]
     out = dict(batch)
@@ -187,7 +202,8 @@ def augment_batch(rng, batch, train: bool):
         flip, alpha = sample_aug_params(rng, s)
         out["xy"] = augment_trajectories(batch["xy"], batch["wh_m"], flip, alpha)
         if has_patches:
-            out["patches"] = finish_patches(batch["big_patches"], flip, alpha)
+            out["patches"] = finish_patches(
+                batch["big_patches"], flip, alpha, interp)
     else:
         out["xy"] = batch["xy"]
         if has_patches:

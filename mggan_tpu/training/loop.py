@@ -86,7 +86,8 @@ class Trainer:
 
         @functools.partial(jax.jit, static_argnames=("train",))
         def _augment(rng, batch, train):
-            return aug.augment_batch(rng, batch, train)
+            return aug.augment_batch(rng, batch, train,
+                                     interp=config.patch_interp)
 
         self._augment = _augment
 

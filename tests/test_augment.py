@@ -141,3 +141,33 @@ def test_identity_patches_equals_zero_transform():
         np.asarray(aug.finish_patches(big, zero_f, zero_a)),
         atol=1e-5,
     )
+
+
+def test_finish_patches_nearest_mode():
+    """interp="nearest" (the reference's PIL rotate resample, kept for A/B
+    isolation of deviation 5): identity transform still equals the centre
+    crop, and every output pixel equals SOME single source pixel (one-hot
+    tap weights — no blending)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from mggan_tpu.data import augment as aug
+
+    rng = np.random.RandomState(11)
+    big = jnp.asarray(rng.randint(0, 255, (3, 2, 49, 49, 3), np.uint8))
+    zero_f = jnp.zeros((3,), jnp.int32)
+    zero_a = jnp.zeros((3,), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(aug.finish_patches(big, zero_f, zero_a, "nearest")),
+        np.asarray(aug.identity_patches(big)),
+        atol=1e-6,
+    )
+
+    flip = jnp.asarray(rng.randint(0, 3, (3,)))
+    alpha = jnp.asarray(rng.uniform(0, 2 * np.pi, (3,)).astype(np.float32))
+    out = np.asarray(
+        aug.finish_patches(big, flip, alpha, "nearest")[..., :3])
+    src = -1.0 + np.asarray(big, np.float32) * 2.0 / 256.0
+    # no blending: every non-zero output value exists in the source patch
+    vals = {round(float(v), 5) for v in np.unique(src)} | {0.0}
+    got = {round(float(v), 5) for v in np.unique(out)}
+    assert got <= vals
