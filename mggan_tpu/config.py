@@ -117,11 +117,14 @@ class Config:
     # Fused Pallas rollout kernels (ops/pallas/decoder.py: fwd, bwd, and
     # fused-selection variants); effective on TPU backends, single chip.
     pallas_decoder: int = 1
-    # Augmented-patch resampling: "bilinear" (deviation 5: one MXU
-    # contraction on device) or "nearest" (the reference's PIL rotate
-    # resample mode, kept for A/B isolation of the deviation —
-    # benchmarks/convergence augment_nearest arm).
-    patch_interp: str = "bilinear"
+    # Augmented-patch resampling. "nearest" (default) reproduces the
+    # reference's PIL-rotate resample semantics as one-hot tap weights in
+    # the same separable MXU contraction — same cost as bilinear, and the
+    # r5 A/B (BASELINE.md augment_nearest rows) measured it BETTER on
+    # min-over-k ADE/FDE at every seed (bilinear's smoothing of the 33x33
+    # patches blurs the scene signal). "bilinear" kept as the r1-r4
+    # behavior (PARITY deviation 5, now resolved-by-default).
+    patch_interp: str = "nearest"
     # Persistent XLA compilation-cache directory: repeat CLI runs (sweeps,
     # evaluate-after-train) deserialize compiled executables instead of
     # recompiling (a warm train-step compile is 41-56 s through the
