@@ -105,6 +105,18 @@ VARIANTS = {
     # column (same seed) and the reference column.
     "augment_nearest": {
         "extra": ["augment=1", "patch_interp=nearest"], "ours_only": True},
+    # A/B isolation of PARITY deviation 7 on the wt_mgan cell (r5):
+    # "wt_mgan_compat" pins the reference's LITERAL degenerate objective
+    # (b-scaled uniform-push; --wt_mgan_compat 1, the framework default
+    # since the A/B measured it better at every seed), "wt_mgan_bayes"
+    # pins the r1-r4 Bayes-target intent. Compare against the "wt_mgan"
+    # cell's reference column (results/wt_mgan*).
+    "wt_mgan_compat": {
+        "extra": ["weighting_target=mgan", "wt_mgan_compat=1"],
+        "ours_only": True},
+    "wt_mgan_bayes": {
+        "extra": ["weighting_target=mgan", "wt_mgan_compat=0"],
+        "ours_only": True},
 }
 
 

@@ -320,7 +320,19 @@ def build_train_step(config: Config, g_spec, d_spec, jit: bool = True):
         }
 
         wt = config.weighting_target
-        if wt == "mgan":
+        if wt == "mgan" and config.wt_mgan_compat:
+            # Reference-literal computation (train.py:604-613): branch_out
+            # is (b,1,G) and ``torch.softmax(branch_out, 1)`` softmaxes the
+            # SINGLETON axis -> all-ones targets, and the (b,1,G)x(b,G)
+            # broadcast makes the loss b * mean_{j,g}(-log pm[j,g]). The D
+            # branch values cancel entirely, so no D call is needed.
+            n_valid = valid.sum().astype(jnp.float32)
+            ce = -jnp.log(out_probs).mean(-1)  # mean over G
+            loss = n_valid * L.masked_mean(ce, valid)
+            ent = -(out_probs * jnp.log(out_probs)).sum(-1)
+            reg = (0.9 ** state.epoch.astype(jnp.float32)) * L.masked_mean(ent, valid)
+            loss = loss - reg
+        elif wt == "mgan":
             _, branch, _ = D_mod.apply(
                 state.d_params, state.d_state, d_spec, bv.in_xy, bv.in_dxdy,
                 bv.gt_xy[None], bv.gt_dxdy[None], bv.ped_mask, valid,

@@ -437,3 +437,40 @@ def test_pm_loss_value_parity(wt):
             float(metrics[f"probs/Gen {i} probability"]),
             float(ref_probs[i]), rtol=2e-4, atol=1e-5,
         )
+
+
+def test_pm_loss_value_parity_mgan_compat():
+    """``--wt_mgan_compat 1`` reproduces the reference's LITERAL wt_mgan
+    computation (train.py:604-613): softmax over the (b,1,G) branch
+    output's singleton axis gives all-ones targets and the (b,1,G)x(b,G)
+    broadcast scales the loss by b. Pinned against the verbatim torch
+    expression (with an arbitrary branch_out — its values must cancel)."""
+    cfg, g_spec, d_spec, tD, state = build(weighting_target="mgan")
+    cfg = cfg.replace(wt_mgan_compat=1)
+    bv = make_bv(seed=3)
+    _, _, pm_step = steps.build_train_step(cfg, g_spec, d_spec, jit="phases")
+    _, metrics = pm_step(state, bv, jax.random.PRNGKey(29))
+
+    enc_h, _, _ = G_mod.encode(
+        state.g_params, state.g_state, g_spec, bv.in_xy, bv.in_dxdy,
+        bv.ped_mask, None, train=True,
+    )
+    logits = G_mod.pm_logits(state.g_params, g_spec, enc_h)
+
+    b = S * P
+    with torch.no_grad():
+        weights = torch.from_numpy(np.asarray(logits).reshape(b, NG).copy())
+        # Arbitrary (b, 1, G) branch output: softmax over dim=1 (the
+        # singleton sample axis, as in train.py:609) is identically 1.
+        branch_out = torch.randn(b, 1, NG)
+        out_probs = torch.softmax(weights, 1)
+        target_probs = torch.softmax(branch_out, 1)
+        ref_loss = -(target_probs * out_probs.log()).sum(1).mean()
+        epoch = 0
+        reg = (0.9 ** epoch) * -(out_probs * out_probs.log()).sum(1).mean()
+        ref_loss -= reg
+
+    np.testing.assert_allclose(
+        float(metrics["train/net_chooser_loss"]), float(ref_loss),
+        rtol=2e-4, atol=1e-5,
+    )

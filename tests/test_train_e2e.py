@@ -62,6 +62,10 @@ def run_steps(cfg, tmp_path, n=2):
         dict(gan_type="gan", gan_obj="W", weighting_target="endpoint"),
         dict(gan_type="mgan", gan_obj="NS", weighting_target="mgan",
              experiment="discrete"),
+        # Bayes-target PM objective (PARITY deviation 7; non-default since
+        # r5 flipped --wt_mgan_compat to the reference-literal objective)
+        dict(gan_type="mgan", gan_obj="NS", weighting_target="mgan",
+             wt_mgan_compat=0),
         dict(gan_type="gan", gan_obj="NS", weighting_target="none",
              num_unrolling_steps=1),
         dict(gan_type="gan", gan_obj="NS", weighting_target="none",
