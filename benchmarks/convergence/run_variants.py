@@ -108,9 +108,10 @@ VARIANTS = {
     # A/B isolation of PARITY deviation 7 on the wt_mgan cell (r5):
     # "wt_mgan_compat" pins the reference's LITERAL degenerate objective
     # (b-scaled uniform-push; --wt_mgan_compat 1, the framework default
-    # since the A/B measured it better at every seed), "wt_mgan_bayes"
-    # pins the r1-r4 Bayes-target intent. Compare against the "wt_mgan"
-    # cell's reference column (results/wt_mgan*).
+    # since the A/B measured it better at 4 of 5 overlapping seeds),
+    # "wt_mgan_bayes" pins the r1-r4 Bayes-target intent. Compare against
+    # the "wt_mgan" cell's reference column (results/wt_mgan*; seed bands
+    # via seed_band.py).
     "wt_mgan_compat": {
         "extra": ["weighting_target=mgan", "wt_mgan_compat=1"],
         "ours_only": True},

@@ -135,8 +135,8 @@ class Config:
     # (CE of the PM probs vs the softmax over the GENERATOR axis of the D
     # gen-id branch on GT — PARITY deviation 7, r1-r4 behavior). The r5
     # A/B (BASELINE.md wt_mgan reading) measured the literal objective
-    # BETTER on min-over-k ADE/FDE at every seed (0.80-0.81 vs the
-    # Bayes mode's 0.86-1.22 and the reference's own 0.77-0.91), so the
+    # better on min-over-k ADE/FDE at 4 of 5 overlapping seeds and at
+    # statistical parity with the reference itself over 8 seeds, so the
     # reference-exact semantics are the default — deviation resolved.
     wt_mgan_compat: int = 1
     # Persistent XLA compilation-cache directory: repeat CLI runs (sweeps,
