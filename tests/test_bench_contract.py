@@ -97,3 +97,21 @@ def test_whitelist_is_bounded():
     # worst-case line under the cap with ~4x margin on growth; this guard
     # fails loudly if someone grows the whitelist past the budget
     assert len(bench.SUMMARY_KEYS) <= 24
+
+
+def test_seed_band_aggregator_reproduces_wt_mgan_bands():
+    """seed_band.py (benchmarks/convergence/) must reproduce the n=8
+    wt_mgan bands BASELINE.md quotes from the checked-in summaries."""
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "benchmarks", "convergence"))
+    import seed_band  # noqa: E402
+
+    cells = seed_band.collect(cell_filter="wt_mgan")
+    ours = cells["wt_mgan"]["mggan_tpu-cpu"]
+    ref = cells["wt_mgan"]["reference-torch-cpu"]
+    assert len(ours) == 8 and len(ref) == 8
+    # best seeds tie at 0.773; the reference's tail seed is s6=1.314
+    assert round(min(ours.values()), 3) == 0.773
+    assert round(min(ref.values()), 3) == 0.773
+    assert round(ref[6], 3) == 1.314
