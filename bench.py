@@ -85,20 +85,23 @@ def summary_line(value, extra, metric="k20_sampling_throughput",
             compact[key.replace(".", "_")] = (
                 round(v, 3) if isinstance(v, float) else v
             )
-    line = json.dumps(
-        {
-            "metric": metric,
-            "value": round(value, 1),
-            "unit": unit,
-            "vs_baseline": round(value / baseline, 3),
-            "extra": compact,
-        },
-        separators=(",", ":"),
-    )
-    assert len(line) <= SUMMARY_LINE_MAX, (
-        f"summary line {len(line)} chars > {SUMMARY_LINE_MAX}: the driver "
-        f"tail capture would truncate it — trim SUMMARY_KEYS"
-    )
+    head = {
+        "metric": metric,
+        "value": round(value, 1),
+        "unit": unit,
+        "vs_baseline": round(value / baseline, 3),
+    }
+    line = json.dumps({**head, "extra": compact}, separators=(",", ":"))
+    if len(line) > SUMMARY_LINE_MAX:
+        # Never lose the headline to an oversized line (the r4 failure
+        # mode): degrade by dropping whitelisted extras from the END
+        # until it fits — the headline + full_results pointer always
+        # survive. The size guard lives in tests/test_bench_contract.py.
+        keys = [k for k in compact if k != "full_results"]
+        while keys and len(line) > SUMMARY_LINE_MAX:
+            compact.pop(keys.pop())
+            line = json.dumps({**head, "extra": compact},
+                              separators=(",", ":"))
     return line
 
 

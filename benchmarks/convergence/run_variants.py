@@ -129,7 +129,9 @@ def run(cmd):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--data", default="/tmp/mggan_convergence")
-    ap.add_argument("--epochs", type=int, default=80)
+    ap.add_argument("--epochs", type=int, default=None,
+                    help="explicit value beats the per-variant default "
+                         "(None -> variant's own, else 80)")
     ap.add_argument("--val_every", type=int, default=10)
     ap.add_argument("--variants", nargs="+", default=list(VARIANTS))
     ap.add_argument("--skip_reference", action="store_true")
@@ -151,8 +153,8 @@ def main():
         res_dir.mkdir(parents=True, exist_ok=True)
         ours_only = args.skip_reference or spec.get("ours_only", False)
         # an explicitly-passed --epochs beats the per-variant default
-        epochs = (args.epochs if args.epochs != ap.get_default("epochs")
-                  else spec.get("epochs", args.epochs))
+        epochs = (args.epochs if args.epochs is not None
+                  else spec.get("epochs", 80))
         common = [
             "--data", data, "--epochs", epochs,
             "--val_every", args.val_every, "--seed", args.seed,

@@ -62,7 +62,11 @@ def _fit(times, rows_full):
     """times: {rows: seconds} at rows_full and rows_full//2."""
     t_half, t_full = times[rows_full // 2], times[rows_full]
     slope = (t_full - t_half) / (rows_full / 2)   # s per row, marginal
-    dispatch = t_full - slope * rows_full
+    # Clamp at 0 like train_dispatch_floor.py: super-linear scaling
+    # (t_full > 2*t_half) yields a negative intercept, and a negative
+    # "dispatch" would make bench.py's sol_x_dispatch_corrected WORSE
+    # than the uncorrected value instead of removing overhead.
+    dispatch = max(t_full - slope * rows_full, 0.0)
     return slope, dispatch, t_half, t_full
 
 

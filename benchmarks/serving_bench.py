@@ -113,9 +113,13 @@ def bench_mixed(model, obs, patches, args):
     burst_sizes = 1 + rng.randint(0, 4, size=n_bursts)
     gaps = rng.exponential(1.0 / args.mixed_qps, size=n_bursts)
 
-    # warm every bucket program outside the timed window
+    # warm every bucket program outside the timed window: a bucket only
+    # compiles on first use of its own size, so warm with exactly b
+    # scenes (min(b, 4) would route every request into the <=4 buckets
+    # and leave the max bucket to compile INSIDE the timed window if a
+    # drained batch ever exceeds 4).
     for b in model.buckets:
-        model.predict_batch([obs] * min(b, 4), [patches] * min(b, 4), seed=0)
+        model.predict_batch([obs] * b, [patches] * b, seed=0)
 
     lat = []
     lat_lock = __import__("threading").Lock()
@@ -127,7 +131,10 @@ def bench_mixed(model, obs, patches, args):
             lat.append(time.perf_counter() - t0)
 
     with MicroBatcher(model, max_wait_ms=5.0) as mb:
-        with ThreadPoolExecutor(max_workers=64) as pool:
+        # one waiter slot per burst: a smaller pool would queue
+        # wait_burst tasks under overload and charge the executor's
+        # starvation to the recorded serving latency
+        with ThreadPoolExecutor(max_workers=max(64, n_bursts)) as pool:
             t_start = time.perf_counter()
             waiters = []
             for i in range(n_bursts):

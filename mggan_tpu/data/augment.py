@@ -92,7 +92,7 @@ def _sample_patch(big, flip, alpha):
     return jnp.stack([sample(big[..., c]) for c in range(3)], axis=-1)
 
 
-def finish_patches(big_patches, flip, alpha, interp="bilinear"):
+def finish_patches(big_patches, flip, alpha, interp="nearest"):
     """uint8 (S,P,49,49,3) -> model patches (S,P,33,33,4) float32.
 
     Applies flip/rotation per scene, normalises to [-1, 1)
@@ -187,13 +187,16 @@ def identity_patches(big_patches):
     return jnp.concatenate([rgb, pos], axis=-1)
 
 
-def augment_batch(rng, batch, train: bool, interp="bilinear"):
+def augment_batch(rng, batch, train: bool, interp="nearest"):
     """Produce augmented trajectories + finished model patches for a batch.
 
     batch keys: xy (S,P,20,2), big_patches (S,P,49,49,3) uint8 or absent,
     wh_m (S,2).  Identity transform when ``train`` is False.
-    ``interp``: patch resampling — "bilinear" (default; deviation 5) or
-    "nearest" (the reference's PIL resample mode, for A/B isolation).
+    ``interp``: patch resampling. The signature default matches
+    Config.patch_interp ("nearest", the reference's PIL resample mode and
+    the measured-better r5 default — PARITY deviation 5, resolved) so a
+    caller that does not thread the config cannot diverge from training;
+    "bilinear" is the r1-r4 behavior, kept for A/B isolation.
     """
     s = batch["xy"].shape[0]
     out = dict(batch)

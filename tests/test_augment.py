@@ -111,7 +111,7 @@ def test_finish_patches_matches_map_coordinates_oracle():
     flip = jnp.asarray(rng.randint(0, 3, (s,)))
     alpha = jnp.asarray(rng.uniform(0, 2 * np.pi, (s,)).astype(np.float32))
 
-    out = aug.finish_patches(big, flip, alpha)
+    out = aug.finish_patches(big, flip, alpha, "bilinear")
 
     flat = big.astype(jnp.float32).reshape(s * p, 49, 49, 3)
     rgb_ref = jax.vmap(aug._sample_patch)(

@@ -115,3 +115,15 @@ def test_seed_band_aggregator_reproduces_wt_mgan_bands():
     assert round(min(ours.values()), 3) == 0.773
     assert round(min(ref.values()), 3) == 0.773
     assert round(ref[6], 3) == 1.314
+
+
+def test_summary_line_degrades_instead_of_crashing():
+    """An oversized whitelisted value must not lose the headline (the r4
+    failure mode): summary_line drops trailing extras until it fits."""
+    extra = _bloated_extra()
+    extra["train_step_ms_4096_agents"] = "x" * (bench.SUMMARY_LINE_MAX + 100)
+    line = bench.summary_line(13_000_000.0, extra)
+    assert len(line) <= bench.SUMMARY_LINE_MAX
+    parsed = json.loads(line)
+    assert parsed["metric"] == "k20_sampling_throughput"
+    assert parsed["extra"]["full_results"] == "benchmarks/bench_full.json"
