@@ -196,9 +196,99 @@ def _fwd_select_kernel(
     out_ref[:] = jnp.concatenate(steps, axis=-1)
 
 
+def _fwd_select_kernel_ilp(
+    wemb_ref, whh_ref, b_ref, w1_ref, w2_ref, b2_ref,
+    h0_ref, socb_ref, xy0_ref, dxdy0_ref, oh2_ref,
+    out_ref,
+    num_gens: int, pred_len: int, inp_format: str, h_dim: int,
+    compute_dtype,
+):
+    """ILP variant of ``_fwd_select_kernel``: the row tile is split into
+    two independent half-tiles whose per-step operations are interleaved
+    at source level (gates-matmul of half B between the gates-matmul and
+    activations of half A), so the op DAG lets Mosaic overlap MXU work of
+    one half with VPU work of the other. Register totals per in-flight
+    half match the non-ILP kernel at half the tile rows; numerics are
+    bit-identical (same ops, same order per row).
+
+    The r5 floor analysis (benchmarks/decode_roofline.json) measured the
+    non-ILP kernel at ~1.15x its SERIAL MXU+VPU floor but 1.96x the
+    perfect-overlap floor — i.e. zero effective overlap; this variant was
+    the targeted experiment against that remaining 1.7x. MEASURED (r5,
+    idle chip, forced-sync, 2 reps x 30 iters): only 1.04-1.07x at
+    655k/1.31M rows — Mosaic's scheduler does not convert the exposed
+    half-tile independence into MXU/VPU co-execution, so the overlap
+    floor is unreachable at the source level and the serial floor is the
+    practical one. Kept gated off (``ilp=False``) as a pinned ablation;
+    equality is tested in tests/test_pallas_decoder.py.
+    """
+    g = num_gens
+    gh = g * h_dim
+    f32 = jnp.float32
+    cd = compute_dtype or f32
+
+    wemb = wemb_ref[:].astype(cd)
+    whh = whh_ref[:].astype(cd)
+    b = b_ref[:]
+    w1 = w1_ref[:].astype(cd)
+    w2 = w2_ref[:]
+    b2 = b2_ref[:]
+
+    rows = h0_ref.shape[0]
+    half = rows // 2
+
+    def load_half(ref, lo):
+        return ref[pl.ds(lo, half), :]
+
+    halves = []
+    for lo in (0, half):
+        xy = jnp.concatenate([load_half(xy0_ref, lo)] * g, axis=-1)
+        dxdy = jnp.concatenate([load_half(dxdy0_ref, lo)] * g, axis=-1)
+        h = jnp.concatenate([load_half(h0_ref, lo)] * g, axis=-1).astype(cd)
+        c = jnp.zeros_like(h, dtype=f32)
+        halves.append({
+            "xy": xy, "dxdy": dxdy, "h": h, "c": c,
+            "socb": load_half(socb_ref, lo),
+            "oh2": load_half(oh2_ref, lo),
+            "steps": [],
+        })
+
+    def gates_of(s):
+        te = _make_te(s["xy"], s["dxdy"], g, inp_format)
+        return (
+            jnp.dot(te.astype(cd), wemb, preferred_element_type=f32)
+            + jnp.dot(s["h"], whh, preferred_element_type=f32)
+            + b
+        )
+
+    def advance(s, gates):
+        i = jax.nn.sigmoid(gates[:, :gh])
+        f = jax.nn.sigmoid(gates[:, gh : 2 * gh])
+        gg = jnp.tanh(gates[:, 2 * gh : 3 * gh])
+        o = jax.nn.sigmoid(gates[:, 3 * gh :])
+        s["c"] = f * s["c"] + i * gg
+        s["h"] = (o * jnp.tanh(s["c"])).astype(cd)
+        hid = jnp.dot(s["h"], w1, preferred_element_type=f32) + s["socb"]
+        hid = jnp.where(hid > 0, hid, 0.01 * hid)
+        nd = jnp.dot(hid.astype(cd), w2, preferred_element_type=f32) + b2
+        s["xy"] = s["xy"] + nd
+        s["dxdy"] = nd
+        s["steps"].append(_sum_gen_blocks(s["oh2"] * s["xy"], g, 2))
+        s["steps"].append(_sum_gen_blocks(s["oh2"] * nd, g, 2))
+
+    a, bhalf = halves
+    for _ in range(pred_len):
+        ga = gates_of(a)
+        gb = gates_of(bhalf)      # MXU: may overlap advance(a)'s VPU ops
+        advance(a, ga)
+        advance(bhalf, gb)
+    out_ref[pl.ds(0, half), :] = jnp.concatenate(a["steps"], axis=-1)
+    out_ref[pl.ds(half, half), :] = jnp.concatenate(bhalf["steps"], axis=-1)
+
+
 def pallas_decode_select(stacked, last_xy, last_dxdy, social_feats, h0,
                          onehot, pred_len, inp_format, compute_dtype=None,
-                         interpret=False):
+                         interpret=False, ilp=False):
     """Decode ONLY the selected generator per row, fused in one kernel.
 
     Args:
@@ -227,7 +317,7 @@ def pallas_decode_select(stacked, last_xy, last_dxdy, social_feats, h0,
     n_padded = h0p.shape[0]
 
     kernel = functools.partial(
-        _fwd_select_kernel,
+        _fwd_select_kernel_ilp if ilp else _fwd_select_kernel,
         num_gens=num_gens, pred_len=pred_len, inp_format=inp_format,
         h_dim=h_dim, compute_dtype=compute_dtype,
     )

@@ -102,8 +102,12 @@ def test_pallas_value_and_grad_jit():
 
 
 @pytest.mark.parametrize("inp_format", ["rel", "abs", "abs_rel"])
-def test_pallas_select_matches_gather(inp_format):
-    """Fused-selection kernel == decode-all + per-row one-hot gather."""
+@pytest.mark.parametrize("ilp", [False, True])
+def test_pallas_select_matches_gather(inp_format, ilp):
+    """Fused-selection kernel == decode-all + per-row one-hot gather.
+    ilp=True covers the half-tile-interleaved ablation variant
+    (bit-identical ops; measured only ~1.05x on chip — see decoder.py
+    ``_fwd_select_kernel_ilp`` docstring), kept gated off by default."""
     from mggan_tpu.ops.pallas.decoder import pallas_decode_select
 
     G, N = 3, 70
@@ -118,7 +122,7 @@ def test_pallas_select_matches_gather(inp_format):
     want_rel = np.asarray(rel_all)[np.asarray(idx), np.arange(N)]
 
     got_abs, got_rel = pallas_decode_select(
-        stacked, xy, dxdy, soc, h0, onehot, 12, inp_format
+        stacked, xy, dxdy, soc, h0, onehot, 12, inp_format, ilp=ilp
     )
     np.testing.assert_allclose(np.asarray(got_abs), want_abs, atol=2e-5)
     np.testing.assert_allclose(np.asarray(got_rel), want_rel, atol=2e-5)
